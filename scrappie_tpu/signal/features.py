@@ -1,0 +1,60 @@
+"""Feature extraction feeding the neural networks.
+
+Behavioural spec: ref src/nnfeatures.c.  Output layout is time-major
+[T, nfeature] float32 (the reference stores features as matrix columns).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from scrappie_tpu.types import EventTable, RawSignal
+from scrappie_tpu.utils.maths import madf
+
+
+def nanonet_features_from_events(et: EventTable, normalise: bool = True) -> np.ndarray:
+    """4 features per event: mean, stdv, length, |delta mean| (last = 0).
+
+    Studentisation matches ref src/nnfeatures.c:46-99, including the
+    reference's use of an *approximate* reciprocal square root
+    (_mm_rsqrt_ps, ~1e-3 relative error): we use the exact value, so
+    features agree with the reference to ~1e-3 relative.
+    """
+    ev = et.active
+    nevent = len(ev)
+    feats = np.zeros((nevent, 4), dtype=np.float32)
+    feats[:, 0] = ev["mean"]
+    feats[:, 1] = ev["stdv"]
+    feats[:, 2] = ev["length"]
+    feats[:-1, 3] = np.abs(ev["mean"][:-1] - ev["mean"][1:])
+
+    if normalise:
+        # Per-feature studentisation across events (float64 accumulation).
+        m = feats.astype(np.float64).mean(axis=0)
+        v = (feats.astype(np.float64) ** 2).mean(axis=0) - m * m
+        rsd = 1.0 / np.sqrt(v)
+        feats = ((feats * rsd.astype(np.float32)) - (m * rsd).astype(np.float32)).astype(
+            np.float32
+        )
+    return feats
+
+
+def features_from_raw(rt: RawSignal) -> np.ndarray:
+    """Raw signal as a [T, 1] feature matrix (ref src/nnfeatures.c:102-115)."""
+    return rt.trimmed.reshape(-1, 1).astype(np.float32)
+
+
+def deltasample_features_from_raw(
+    rt: RawSignal, shift: float, scale: float, sdthresh: float
+) -> np.ndarray:
+    """Forward-differenced, shift/scaled, outlier-filtered signal.
+
+    (ref src/nnfeatures.c:118-133)
+    """
+    sig = rt.trimmed.astype(np.float32)
+    sig_mad = madf(sig)
+    d = np.zeros_like(sig)
+    d[:-1] = sig[1:] - sig[:-1]
+    d = (d - np.float32(shift)) / np.float32(scale)
+    d[np.abs(d) > sdthresh * sig_mad] = 0.0
+    return d.reshape(-1, 1)

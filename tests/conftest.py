@@ -1,0 +1,33 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Must set the env vars before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE_DIR = pathlib.Path("/root/reference")
+FIXTURE_DIR = REFERENCE_DIR / "src" / "test"
+READS_DIR = REFERENCE_DIR / "reads"
+
+
+@pytest.fixture(scope="session")
+def fixture_dir():
+    if not FIXTURE_DIR.is_dir():
+        pytest.skip("reference fixtures not mounted")
+    return FIXTURE_DIR
+
+
+@pytest.fixture(scope="session")
+def reads_dir():
+    if not READS_DIR.is_dir():
+        pytest.skip("reference reads not mounted")
+    return READS_DIR
