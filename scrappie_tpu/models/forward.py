@@ -1,0 +1,118 @@
+"""Forward passes of the model zoo — pure, jittable, batched.
+
+Graph definitions follow ref src/networks.c (line refs inline).  All
+functions take a parameter pytree (dict of arrays, see registry.py) and
+time-major batched features, and return per-block outputs:
+
+  raw/rgrgr/events -> posterior probabilities [B, nblock, 1025]
+  rnnrf            -> CRF transition weights  [B, nblock, 25] (log-space)
+  squiggle         -> per-base (current, log sd, -log dwell) [B, N, 3]
+
+Unlike the reference (one read per call, columns-as-time), a batch of
+chunks flows through together so the GEMMs are MXU-sized.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from scrappie_tpu.models.specs import GRU_DIRS
+from scrappie_tpu.nn.layers import (
+    conv1d,
+    elu,
+    embedding,
+    feedforward,
+    feedforward2_tanh,
+    globalnorm,
+    robustlog,
+    softmax_with_temperature,
+    window,
+)
+from scrappie_tpu.nn.rnn import gru, lstm
+
+_CONV_ACT = {"elu": elu, "tanh": jnp.tanh}
+
+
+def rgrgr_posterior(params, sig, *, conv_activation="elu", stride=5,
+                    min_prob=1e-5, tempW=1.0, tempb=1.0, return_log=True):
+    """rgrgr_{r94,r941,r10}: conv -> 5 alternating single-direction GRUs
+    -> softmax with temperature (ref src/networks.c:250-394)."""
+    x = conv1d(sig, params["conv_W"], params["conv_b"], int(stride))
+    x = _CONV_ACT[conv_activation](x)
+    for i, d in enumerate(GRU_DIRS, start=1):
+        pre = f"gru{d.upper()}{i}"
+        xin = feedforward(x, params[f"{pre}_iW"], params[f"{pre}_b"])
+        x = gru(xin, params[f"{pre}_sW"], params[f"{pre}_sW2"], reverse=(d == "b"))
+    post = softmax_with_temperature(x, params["FF_W"], params["FF_b"], tempW, tempb)
+    return robustlog(post, min_prob) if return_log else post
+
+
+def rnnrf_transitions(params, sig, *, conv_activation="elu", stride=2,
+                      min_prob=1e-5, tempW=1.0, tempb=1.0, return_log=True):
+    """rnnrf_r94: conv -> 5 residual GRUs -> globally-normalised CRF
+    transitions (ref src/networks.c:567-615).  Always log-space."""
+    del min_prob, tempW, tempb
+    assert return_log, "rnnrf transitions are always log-space"
+    x = conv1d(sig, params["conv_W"], params["conv_b"], int(stride))
+    x = _CONV_ACT[conv_activation](x)
+    for i, d in enumerate(GRU_DIRS, start=1):
+        pre = f"gru{d.upper()}{i}"
+        xin = feedforward(x, params[f"{pre}_iW"], params[f"{pre}_b"])
+        gx = gru(xin, params[f"{pre}_sW"], params[f"{pre}_sW2"], reverse=(d == "b"))
+        x = x + gx  # residual_inplace (ref src/networks.c:583-607)
+    return globalnorm(x, params["FF_W"], params["FF_b"])
+
+
+def raw_posterior(params, sig, *, stride=4, min_prob=1e-5,
+                  tempW=1.0, tempb=1.0, return_log=True):
+    """raw_r94: conv+tanh -> 2x (biGRU + FF2-tanh) -> softmax_temp
+    (ref src/networks.c:196-247)."""
+    x = jnp.tanh(conv1d(sig, params["conv_W"], params["conv_b"], int(stride)))
+    for layer in (1, 2):
+        xf = feedforward(x, params[f"gruF{layer}_iW"], params[f"gruF{layer}_b"])
+        xb = feedforward(x, params[f"gruB{layer}_iW"], params[f"gruB{layer}_b"])
+        hf = gru(xf, params[f"gruF{layer}_sW"], params[f"gruF{layer}_sW2"])
+        hb = gru(xb, params[f"gruB{layer}_sW"], params[f"gruB{layer}_sW2"], reverse=True)
+        x = feedforward2_tanh(hf, hb, params[f"FF{layer}_Wf"],
+                              params[f"FF{layer}_Wb"], params[f"FF{layer}_b"])
+    post = softmax_with_temperature(x, params["FF3_W"], params["FF3_b"], tempW, tempb)
+    return robustlog(post, min_prob) if return_log else post
+
+
+def events_posterior(params, feats, *, winlen=3, min_prob=1e-5,
+                     tempW=1.0, tempb=1.0, return_log=True):
+    """nanonet events net: window(3) -> 2x (biLSTM + FF2-tanh) -> softmax_temp
+    (ref src/networks.c:146-194).  feats [B, nevent, 4]."""
+    x = window(feats, winlen, 1)
+    for layer in (1, 2):
+        xf = feedforward(x, params[f"lstmF{layer}_iW"], params[f"lstmF{layer}_b"])
+        xb = feedforward(x, params[f"lstmB{layer}_iW"], params[f"lstmB{layer}_b"])
+        hf = lstm(xf, params[f"lstmF{layer}_sW"], params[f"lstmF{layer}_p"])
+        hb = lstm(xb, params[f"lstmB{layer}_sW"], params[f"lstmB{layer}_p"], reverse=True)
+        x = feedforward2_tanh(hf, hb, params[f"FF{layer}_Wf"],
+                              params[f"FF{layer}_Wb"], params[f"FF{layer}_b"])
+    post = softmax_with_temperature(x, params["FF3_W"], params["FF3_b"], tempW, tempb)
+    return robustlog(post, min_prob) if return_log else post
+
+
+def squiggle_forward(params, seq, *, transform_units=True):
+    """sequence -> predicted squiggle (ref src/networks.c:397-451).
+
+    seq: int array [..., N] of bases; returns [..., N, 3] with columns
+    (current, sd | log sd, dwell-samples | -log dwell) depending on
+    transform_units.
+    """
+    x = embedding(seq, params["embed_W"])
+    x = jnp.tanh(conv1d(x, params["conv1_W"], params["conv1_b"], int(params["conv1_stride"])))
+    for k in range(2, 6):
+        fx = jnp.tanh(
+            conv1d(x, params[f"conv{k}_W"], params[f"conv{k}_b"], int(params[f"conv{k}_stride"]))
+        )
+        x = x + fx
+    out = conv1d(x, params["conv6_W"], params["conv6_b"], int(params["conv6_stride"]))
+    if transform_units:
+        current = out[..., 0:1]
+        sd = jnp.exp(out[..., 1:2])
+        dwell = jnp.exp(-out[..., 2:3])
+        out = jnp.concatenate([current, sd, dwell], axis=-1)
+    return out
