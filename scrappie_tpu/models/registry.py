@@ -44,8 +44,38 @@ def _rng(name: str) -> np.random.Generator:
     return np.random.default_rng(seed)
 
 
-def _dense(rng, fan_in: int, fan_out: int) -> np.ndarray:
-    return (rng.standard_normal((fan_in, fan_out)) / np.sqrt(fan_in)).astype(np.float32)
+def _dense(rng, fan_in: int, fan_out: int, scale: float = 1.0) -> np.ndarray:
+    return (rng.standard_normal((fan_in, fan_out)) * (scale / np.sqrt(fan_in))).astype(
+        np.float32
+    )
+
+
+# Output-layer gain for synthetic models (initial guess, then calibrated):
+# a trained basecaller emits peaky posteriors (max log-prob near 0); with
+# gaussian logits the max-vs-logsumexp gap is optimised at logit std
+# sqrt(2 ln nstate), so we rescale the output layer to hit that.
+_SYNTH_OUTPUT_GAIN = 7.5
+
+
+def _calibrate_output_gain(p: dict[str, np.ndarray], spec, out_key: str) -> None:
+    """Rescale the output layer so per-block logit std ~ sqrt(2 ln nstate)."""
+    from scrappie_tpu.models import forward  # local import to avoid cycle
+
+    rng = _rng(spec.name + ":calib")
+    if out_key == "FF_W" and spec.kind == "rgrgr":
+        sig = rng.standard_normal((1, 2000, 1)).astype(np.float32)
+        lp = np.asarray(forward.rgrgr_posterior(
+            p, sig, conv_activation=spec.conv_activation, stride=spec.stride))
+    elif out_key == "FF3_W" and getattr(spec, "kind", None) == "raw":
+        sig = rng.standard_normal((1, 2000, 1)).astype(np.float32)
+        lp = np.asarray(forward.raw_posterior(p, sig, stride=spec.stride))
+    else:  # events
+        feats = rng.standard_normal((1, 500, 4)).astype(np.float32)
+        lp = np.asarray(forward.events_posterior(p, feats))
+    # std of log-posterior across states == std of logits per block
+    sd = float(lp.std(axis=-1).mean())
+    target = float(np.sqrt(2.0 * np.log(lp.shape[-1])))
+    p[out_key] = (p[out_key] * (target / sd)).astype(np.float32)
 
 
 def _gru_params(rng, prefix: str, in_size: int, size: int) -> dict[str, np.ndarray]:
@@ -68,8 +98,10 @@ def _synth_rgrgr(spec: specs.RawModelSpec) -> dict[str, np.ndarray]:
     for i, d in enumerate(GRU_DIRS, start=1):
         p.update(_gru_params(rng, f"gru{d.upper()}{i}", in_size, spec.size))
         in_size = spec.size
-    p["FF_W"] = _dense(rng, spec.size, spec.nstate)
+    p["FF_W"] = _dense(rng, spec.size, spec.nstate, _SYNTH_OUTPUT_GAIN)
     p["FF_b"] = np.zeros(spec.nstate, dtype=np.float32)
+    if spec.kind == "rgrgr":
+        _calibrate_output_gain(p, spec, "FF_W")
     return p
 
 
@@ -88,8 +120,9 @@ def _synth_raw(spec: specs.RawModelSpec) -> dict[str, np.ndarray]:
         p[f"FF{layer}_Wb"] = _dense(rng, spec.size, spec.size)
         p[f"FF{layer}_b"] = np.zeros(spec.size, dtype=np.float32)
         in_size = spec.size
-    p["FF3_W"] = _dense(rng, spec.size, spec.nstate)
+    p["FF3_W"] = _dense(rng, spec.size, spec.nstate, _SYNTH_OUTPUT_GAIN)
     p["FF3_b"] = np.zeros(spec.nstate, dtype=np.float32)
+    _calibrate_output_gain(p, spec, "FF3_W")
     return p
 
 
@@ -108,8 +141,9 @@ def _synth_events(spec: specs.EventsModelSpec) -> dict[str, np.ndarray]:
         p[f"FF{layer}_Wb"] = _dense(rng, size, size)
         p[f"FF{layer}_b"] = np.zeros(size, dtype=np.float32)
         in_size = size
-    p["FF3_W"] = _dense(rng, size, spec.nstate)
+    p["FF3_W"] = _dense(rng, size, spec.nstate, _SYNTH_OUTPUT_GAIN)
     p["FF3_b"] = np.zeros(spec.nstate, dtype=np.float32)
+    _calibrate_output_gain(p, spec, "FF3_W")
     return p
 
 
