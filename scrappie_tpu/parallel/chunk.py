@@ -1,0 +1,109 @@
+"""Overlap-and-stitch chunking: long reads on a static-shape compiler.
+
+The reference processes each read as one variable-length matrix
+(SURVEY.md section 5: no chunking anywhere).  On TPU, variable shapes
+mean recompilation, so reads are cut into fixed-length overlapping
+chunks, batched through the network, and the per-block outputs stitched
+back by keeping each chunk's interior (the RNN context converges well
+within half an overlap), bonito-style.
+
+All sample coordinates are kept multiples of the model stride so chunk
+blocks align exactly with whole-read blocks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ChunkPlan:
+    """How one read of `nsample` samples maps onto fixed-size chunks."""
+
+    nsample: int
+    chunk_len: int
+    overlap: int
+    stride: int
+    starts: np.ndarray  # [nchunk] sample offsets, each a multiple of stride
+
+    @property
+    def nchunk(self) -> int:
+        return len(self.starts)
+
+    @property
+    def nblock_total(self) -> int:
+        return -(-self.nsample // self.stride)
+
+    @property
+    def nblock_chunk(self) -> int:
+        return self.chunk_len // self.stride
+
+
+def plan_chunks(nsample: int, chunk_len: int, overlap: int, stride: int) -> ChunkPlan:
+    assert chunk_len % stride == 0 and overlap % stride == 0
+    assert overlap < chunk_len
+    if nsample <= chunk_len:
+        starts = np.array([0], dtype=np.int64)
+    else:
+        hop = chunk_len - overlap
+        starts = list(range(0, nsample - chunk_len, hop))
+        # Final chunk is right-aligned (stride-aligned) so it ends at nsample.
+        last = ((nsample - chunk_len) // stride) * stride
+        if not starts or starts[-1] < last:
+            starts.append(last)
+        starts = np.array(starts, dtype=np.int64)
+    return ChunkPlan(nsample, chunk_len, overlap, stride, starts)
+
+
+def extract_chunks(signal: np.ndarray, plan: ChunkPlan) -> np.ndarray:
+    """[nchunk, chunk_len] chunk matrix, zero-padded at the read tail."""
+    out = np.zeros((plan.nchunk, plan.chunk_len), dtype=np.float32)
+    for i, s in enumerate(plan.starts):
+        seg = signal[s : s + plan.chunk_len]
+        out[i, : len(seg)] = seg
+    return out
+
+
+def stitch_blocks(chunk_blocks: np.ndarray, plan: ChunkPlan) -> np.ndarray:
+    """Stitch per-chunk block outputs [nchunk, nblock_chunk, C] into
+    [nblock_total, C], keeping each chunk's interior.
+
+    Chunk i keeps global blocks [lo_i, hi_i): boundaries at the midpoint
+    of each inter-chunk overlap, so every global block is produced by the
+    chunk whose receptive field is most centred on it.
+    """
+    s = plan.stride
+    total = plan.nblock_total
+    out = np.zeros((total,) + chunk_blocks.shape[2:], dtype=chunk_blocks.dtype)
+    starts_blk = plan.starts // s
+    nblk = plan.nblock_chunk
+
+    for i in range(plan.nchunk):
+        lo = 0 if i == 0 else (starts_blk[i] + (starts_blk[i - 1] + nblk - starts_blk[i]) // 2)
+        hi = total if i == plan.nchunk - 1 else (
+            starts_blk[i + 1] + (starts_blk[i] + nblk - starts_blk[i + 1]) // 2
+        )
+        lo = max(lo, starts_blk[i])
+        hi = min(hi, starts_blk[i] + nblk, total)
+        if hi <= lo:
+            continue
+        out[lo:hi] = chunk_blocks[i, lo - starts_blk[i] : hi - starts_blk[i]]
+    return out
+
+
+def neutral_pad_logpost(logpost: np.ndarray, target_blocks: int,
+                        stay_pen: float = 0.0) -> np.ndarray:
+    """Pad a transducer log-posterior so extra blocks are decode-neutral.
+
+    Padding blocks have stay log-prob +stay_pen (so a stay move costs
+    exactly 0) and -inf elsewhere; any Viterbi path holds its state for
+    free through the padding and the decoded basecall is unchanged.
+    """
+    T, nstate = logpost.shape
+    if T >= target_blocks:
+        return logpost
+    pad = np.full((target_blocks - T, nstate), -1e30, dtype=logpost.dtype)
+    pad[:, -1] = stay_pen
+    return np.concatenate([logpost, pad], axis=0)

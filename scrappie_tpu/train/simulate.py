@@ -1,0 +1,88 @@
+"""Simulated training data: sequence -> squiggle -> raw signal + labels.
+
+The reference has no training code (SURVEY.md section 0: inference
+only); its models came from ONT's external Sloika trainer whose weight
+exports are missing from the snapshot.  This module closes the loop
+in-framework: the *real* squiggle_r94 model (whose weights survive)
+generates physically-plausible signal from random DNA, giving labelled
+data to train the raw basecall networks on — so the raw pipeline can be
+exercised and benchmarked with genuinely consistent posteriors.
+
+Label convention matches the transducer decoder: per stride-sized block,
+the class is the kmer history ending at the block's last sample, or the
+stay class when the base index did not advance since the previous block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from scrappie_tpu.models import forward, registry
+from scrappie_tpu.models.specs import KMER_LEN, NSTATE_TRANSDUCER
+
+
+class SquiggleSimulator:
+    def __init__(self, squiggle_model: str = "squiggle_r94", seed: int = 0):
+        self.params = registry.load_params(squiggle_model)
+        self.rng = np.random.default_rng(seed)
+
+    def simulate_read(self, seqlen: int):
+        """Returns (signal [T], bases [L], base_at_sample [T])."""
+        rng = self.rng
+        bases = rng.integers(0, 4, size=seqlen)
+        sq = np.asarray(
+            forward.squiggle_forward(self.params, bases.astype(np.int32),
+                                     transform_units=True)
+        )
+        current, sd, dwell = sq[:, 0], sq[:, 1], sq[:, 2]
+        # Per-base dwell: expected samples modulated by log-normal noise
+        dwells = np.maximum(
+            1, np.round(dwell * np.exp(0.25 * rng.standard_normal(seqlen)))
+        ).astype(np.int64)
+        base_at_sample = np.repeat(np.arange(seqlen), dwells)
+        sig = current[base_at_sample]
+        # Laplace current noise with the predicted per-base sd
+        noise = rng.laplace(0.0, 1.0, size=len(sig)) * sd[base_at_sample]
+        return (sig + noise).astype(np.float32), bases, base_at_sample
+
+    def labelled_batch(self, batch: int, nsample: int, stride: int,
+                       klen: int = KMER_LEN):
+        """Fixed-shape batch: signals [B, nsample, 1], labels [B, nblock].
+
+        Stay class = NSTATE-1.  Blocks before klen bases of history get
+        label -1 (masked out of the loss).
+        """
+        nblock = nsample // stride
+        sigs = np.zeros((batch, nsample, 1), dtype=np.float32)
+        labels = np.full((batch, nblock), -1, dtype=np.int32)
+        # Enough bases to cover nsample samples at >=1 sample/base
+        seqlen = int(nsample / 4) + klen + 8
+        for b in range(batch):
+            sig, bases, base_at = self.simulate_read(seqlen)
+            while len(sig) < nsample:
+                sig2, bases2, base_at2 = self.simulate_read(seqlen)
+                base_at2 = base_at2 + bases.shape[0]
+                bases = np.concatenate([bases, bases2])
+                base_at = np.concatenate([base_at, base_at2])
+                sig = np.concatenate([sig, sig2])
+            sig = sig[:nsample]
+            base_at = base_at[:nsample]
+            # med-mad normalise like the real pipeline
+            med = np.median(sig)
+            mad = np.median(np.abs(sig - med)) * 1.4826
+            sigs[b, :, 0] = (sig - med) / max(mad, 1e-6)
+
+            # Block labels
+            last = base_at[stride - 1 :: stride][:nblock]
+            kmers = np.zeros(len(bases), dtype=np.int64)
+            k = 0
+            for j in range(len(bases)):
+                k = ((k << 2) | int(bases[j])) & (4**klen - 1)
+                kmers[j] = k
+            lab = kmers[last]
+            prev_last = np.concatenate([[-1], last[:-1]])
+            stay = last == prev_last
+            lab = np.where(stay, NSTATE_TRANSDUCER - 1, lab)
+            lab[last < klen - 1] = -1  # incomplete history
+            labels[b] = lab
+        return sigs, labels

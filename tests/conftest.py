@@ -1,16 +1,20 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must set the env vars before jax is imported anywhere.
+The environment's sitecustomize registers a remote-TPU (axon) PJRT
+plugin and forces jax_platforms via jax.config, so plain env vars are
+not enough — we must override the config after import, before any
+backend is initialised.
 """
 
 import os
 
-# Hard override: the environment profile exports JAX_PLATFORMS=axon (remote
-# TPU tunnel); tests must run on local CPU with a virtual 8-device mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -1,0 +1,134 @@
+"""Chunk/stitch runtime tests: chunked == unchunked in the interior."""
+
+import numpy as np
+import pytest
+
+from scrappie_tpu.models import forward, registry
+from scrappie_tpu.parallel import chunk as chunklib
+
+
+def test_plan_chunks_short_read():
+    plan = chunklib.plan_chunks(500, 1000, 100, 5)
+    assert plan.nchunk == 1
+    assert plan.starts[0] == 0
+    assert plan.nblock_total == 100
+
+
+def test_plan_chunks_alignment():
+    plan = chunklib.plan_chunks(25_731, 10_000, 1_000, 5)
+    assert (plan.starts % 5 == 0).all()
+    # Last chunk ends at/before nsample but covers the tail blocks
+    assert plan.starts[-1] + plan.chunk_len >= plan.nsample - 4
+    # Full coverage: consecutive chunks overlap
+    assert (np.diff(plan.starts) <= plan.chunk_len).all()
+
+
+def test_extract_and_stitch_identity():
+    """Stitching per-chunk block slices of a global array reproduces it."""
+    rng = np.random.default_rng(0)
+    nsample, stride = 23_456, 4
+    chunk_len, overlap = 4_000, 800
+    total_blocks = -(-nsample // stride)
+    glob = rng.standard_normal((total_blocks, 3)).astype(np.float32)
+
+    plan = chunklib.plan_chunks(nsample, chunk_len, overlap, stride)
+    per_chunk = np.stack(
+        [glob[s // stride : s // stride + plan.nblock_chunk] for s in plan.starts]
+    )
+    got = chunklib.stitch_blocks(per_chunk, plan)
+    np.testing.assert_array_equal(got, glob)
+
+
+def test_neutral_pad_is_decode_neutral():
+    from scrappie_tpu.decode.transducer import decode_transducer
+
+    rng = np.random.default_rng(1)
+    lp = rng.standard_normal((20, 257)).astype(np.float32) * 2
+    lp -= np.log(np.exp(lp).sum(-1, keepdims=True))
+    s1, p1 = decode_transducer(lp, 0.3, 0.1, 2.0)
+    padded = chunklib.neutral_pad_logpost(lp, 32, stay_pen=0.3)
+    s2, p2 = decode_transducer(padded, 0.3, 0.1, 2.0)
+    assert abs(s1 - s2) < 1e-4
+    np.testing.assert_array_equal(p1, p2[: len(p1)])
+    assert (p2[len(p1):] == -1).all()
+
+
+@pytest.mark.parametrize("model", ["rgrgr_r94"])
+def test_stitched_posterior_matches_whole(model):
+    """Chunked + stitched log-posterior equals the whole-read posterior
+    away from chunk boundaries (the bidirectional GRU context converges
+    well within half an overlap)."""
+    from scrappie_tpu.models.specs import RAW_MODELS
+
+    spec = RAW_MODELS[model]
+    params = registry.load_params(model)
+    rng = np.random.default_rng(2)
+    nsample = 9_000
+    sig = rng.standard_normal((nsample,)).astype(np.float32)
+
+    whole = np.asarray(
+        forward.rgrgr_posterior(params, sig.reshape(1, -1, 1),
+                                conv_activation=spec.conv_activation,
+                                stride=spec.stride)
+    )[0]
+
+    plan = chunklib.plan_chunks(nsample, 4000, 1000, spec.stride)
+    chunks = chunklib.extract_chunks(sig, plan)
+    per_chunk = np.asarray(
+        forward.rgrgr_posterior(params, chunks[..., None],
+                                conv_activation=spec.conv_activation,
+                                stride=spec.stride)
+    )
+    stitched = chunklib.stitch_blocks(per_chunk, plan)
+    assert stitched.shape == whole.shape
+    diff = np.abs(stitched - whole).max(axis=1)
+    # every block within tolerance (stitching keeps chunk interiors only)
+    assert np.median(diff) < 1e-3
+    assert diff.max() < 0.2, f"max diff {diff.max()}"
+
+
+def test_engine_end_to_end(reads_dir):
+    from scrappie_tpu.io.fast5 import read_raw
+    from scrappie_tpu.parallel.runner import BasecallEngine
+
+    engine = BasecallEngine("rgrgr_r94", chunk_len=5000, overlap=500, batch_size=4)
+    reads = sorted(reads_dir.glob("*.fast5"))[:2]
+    signals = [read_raw(f) for f in reads]
+    # Truncate for test speed
+    from scrappie_tpu.types import RawSignal
+
+    signals = [RawSignal(s.raw[:12_000], uuid=s.uuid) for s in signals]
+    results = engine.basecall_signals(signals, local_pen=20.0)
+    assert len(results) == 2
+    for r in results:
+        assert r.sequence is not None and len(r.sequence) > 50
+        assert np.isfinite(r.score)
+        assert r.nblock == -(-(r.trim_end - r.trim_start) // 5)
+
+
+def test_engine_matches_single_read_api(reads_dir):
+    """Engine (chunked, batched) basecall matches the single-read API path.
+
+    A read shorter than one chunk is zero-padded, which perturbs the
+    backward-GRU context near the read tail (same error class as a chunk
+    boundary), so we require near-identity rather than equality.
+    """
+    import Levenshtein
+
+    from scrappie_tpu.api import basecall_raw
+    from scrappie_tpu.io.fast5 import read_raw
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.types import RawSignal
+
+    f = sorted(reads_dir.glob("*.fast5"))[0]
+    sig = read_raw(f).raw[:8_000]
+    seq_api, score_api, *_ = basecall_raw(sig, "rgrgr_r94", local_pen=20.0)
+
+    engine = BasecallEngine("rgrgr_r94", chunk_len=10_000, overlap=1_000,
+                            batch_size=2, min_prob=1e-6)
+    res = engine.basecall_signals([RawSignal(sig)], local_pen=20.0)[0]
+    identity = 1.0 - Levenshtein.distance(res.sequence, seq_api) / max(
+        len(seq_api), len(res.sequence)
+    )
+    assert identity > 0.95, f"identity {identity}"
+    assert abs(res.score - score_api) / abs(score_api) < 0.02
