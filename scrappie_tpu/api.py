@@ -208,6 +208,58 @@ def basecall_raw(data, model: str = "rgrgr_r94", with_base_probs: bool = False, 
     return seq, score, pos, raw.start, raw.end, base_probs
 
 
+def basecall_events(data, *, trim_start=200, trim_end=10, varseg_chunk=100,
+                    varseg_thresh=0.0, min_prob=1e-5, tempW=1.0, tempb=1.0,
+                    stay_pen=0.0, skip_pen=0.0, local_pen=2.0, use_slip=False,
+                    dwell_correction=True):
+    """Events pipeline: event detection -> nanonet biLSTM -> transducer
+    decode -> optional dwell homopolymer correction.
+
+    Mirrors the `scrappie events` calculate_post flow
+    (ref src/scrappie_events.c:271-344).  Returns (sequence, score,
+    annotated EventTable, trim start, trim end).
+    """
+    from scrappie_tpu.post.homopolymer import homopolymer_dwell_correction
+    from scrappie_tpu.signal.events import detect_events
+    from scrappie_tpu.signal.features import nanonet_features_from_events
+    from scrappie_tpu.signal.trim import trim_and_segment_raw
+    from scrappie_tpu.types import RawSignal
+
+    rt = trim_and_segment_raw(RawSignal(np.asarray(data, dtype=np.float32)),
+                              trim_start, trim_end, varseg_chunk, varseg_thresh)
+    if rt is None:
+        return None, float("nan"), None, 0, 0
+    et = detect_events(rt)
+    feats = nanonet_features_from_events(et, normalise=True)
+
+    params = registry.load_params("nanonet_events")
+    lp = np.asarray(
+        forward.events_posterior(params, feats[None], min_prob=min_prob,
+                                 tempW=tempW, tempb=tempb, return_log=True)
+    )[0]
+    nev, nstate = lp.shape
+    score, path = decode_transducer(lp, stay_pen, skip_pen, local_pen, use_slip)
+    pos = np.zeros(nev + 1, dtype=np.int64)
+    # The reference stitches only the first nev path entries
+    # (ref src/scrappie_events.c:301)
+    seq = overlapper(path[:nev], nstate - 1, pos)
+
+    # Annotate events with decoded state/position (ref :307-311)
+    ev = et.event
+    ev["state"][et.start : et.start + nev] = 1 + path[:nev]
+    ev["pos"][et.start : et.start + nev] = pos[:nev]
+
+    if dwell_correction and seq is not None:
+        active = et.active[:nev]
+        new = homopolymer_dwell_correction(
+            active["length"], active["start"], path[:nev], active["pos"],
+            active["state"], nstate, len(seq)
+        )
+        if new is not None:
+            seq = new
+    return seq, float(score), et, rt.start, rt.end
+
+
 def get_model_stride(model: str) -> int:
     return registry.get_model_stride(model)
 

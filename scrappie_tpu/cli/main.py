@@ -1,0 +1,411 @@
+"""Command-line interface, mirroring the reference's subcommands/flags.
+
+Subcommands (ref src/scrappie.c:21-52 and src/scrappie_subcommands.c):
+  raw          basecall from raw signal (flags: src/scrappie_raw.c:40-69)
+  events       basecall via event detection (src/scrappie_events.c:47-80)
+  squiggle     sequence -> predicted squiggle TSV (src/scrappie_squiggle.c)
+  mappy        align raw signal to predicted squiggle (src/scrappie_mappy.c)
+  seqmappy     map basecall posterior to a sequence (src/scrappie_seqmappy.c)
+  event_table  dump detected events as TSV (src/scrappie_event_table.c)
+  help / version / licence
+
+TPU-native extras on `raw`: --chunk-len/--overlap/--batch control the
+chunked batched engine; --threads is accepted for compatibility.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+LICENCE = """scrappie_tpu is an original TPU-native implementation providing the
+capabilities of ONT's scrappie basecaller.  See LICENSE in the repository."""
+
+
+def _trim_pair(s: str) -> tuple[int, int]:
+    parts = s.split(":")
+    start = int(parts[0])
+    end = int(parts[1]) if len(parts) > 1 else start
+    return start, end
+
+
+def _seg_pair(s: str) -> tuple[int, float]:
+    parts = s.split(":")
+    chunk = int(parts[0])
+    perc = float(parts[1]) / 100.0 if len(parts) > 1 else 0.0
+    return chunk, perc
+
+
+def _out(args):
+    return open(args.output, "w") if args.output else sys.stdout
+
+
+def _add_common(p, trim_default="200:10"):
+    p.add_argument("--output", "-o", default=None, help="Write to file rather than stdout")
+    p.add_argument("--prefix", "-p", default="", help="Prefix to append to name of each read")
+    p.add_argument("--trim", "-t", type=_trim_pair, default=_trim_pair(trim_default),
+                   metavar="start:end", help="Number of samples to trim, as start:end")
+    p.add_argument("--segmentation", type=_seg_pair, default=(100, 0.0),
+                   metavar="chunk:percentile",
+                   help="Chunk size and percentile for variance based segmentation")
+    p.add_argument("--licence", "--license", action="store_true", help=argparse.SUPPRESS)
+
+
+def _add_basecall_common(p):
+    p.add_argument("--format", "-f", choices=["fasta", "sam"], default="fasta",
+                   type=str.lower, help="Format to output reads (FASTA or SAM)")
+    p.add_argument("--limit", "-l", type=int, default=0,
+                   help="Maximum number of reads to call (0 is unlimited)")
+    p.add_argument("--min_prob", "-m", type=float, default=1e-5,
+                   help="Minimum bound on probability of match")
+    p.add_argument("--skip", "-s", dest="skip_pen", type=float, default=0.0,
+                   help="Penalty for skipping a base")
+    p.add_argument("--stay", "-y", dest="stay_pen", type=float, default=0.0,
+                   help="Penalty for staying")
+    p.add_argument("--local", dest="local_pen", type=float, default=2.0,
+                   help="Penalty for local basecalling")
+    p.add_argument("--temperature1", type=float, default=1.0,
+                   help="Temperature for softmax weights")
+    p.add_argument("--temperature2", type=float, default=1.0,
+                   help="Temperature for softmax bias")
+    p.add_argument("--slip", dest="use_slip", action="store_true", default=False,
+                   help="Use slipping")
+    p.add_argument("--no-slip", dest="use_slip", action="store_false")
+    p.add_argument("--uuid", dest="uuid", action="store_true", default=False,
+                   help="Output UUID as read name")
+    p.add_argument("--no-uuid", dest="uuid", action="store_false")
+    p.add_argument("--threads", "-#", type=int, default=None,
+                   help="(compatibility) parallelism hint; maps to device batch")
+
+
+def build_parser():
+    top = argparse.ArgumentParser(prog="scrappie_tpu",
+                                  description="TPU-native scrappie-compatible basecaller")
+    sub = top.add_subparsers(dest="command", required=True)
+
+    # ---- raw
+    raw = sub.add_parser("raw", help="basecall from raw signal")
+    _add_common(raw)
+    _add_basecall_common(raw)
+    raw.add_argument("--model", default="rgrgr_r94",
+                     choices=["raw_r94", "rgrgr_r94", "rgrgr_r941", "rgrgr_r10", "rnnrf_r94"],
+                     help="Raw model to use")
+    raw.add_argument("--homopolymer", "-H", default="mean",
+                     choices=["nochange", "mean"],
+                     help="Homopolymer run calc. (not implemented for CRF)")
+    raw.add_argument("--chunk-len", type=int, default=10000,
+                     help="Chunk length in samples (TPU batching)")
+    raw.add_argument("--overlap", type=int, default=1000,
+                     help="Chunk overlap in samples")
+    raw.add_argument("--batch", type=int, default=8, help="Device batch size")
+    raw.add_argument("files", nargs="+", help="fast5 files or directories")
+
+    # ---- events
+    ev = sub.add_parser("events", help="basecall via event detection")
+    _add_common(ev)
+    _add_basecall_common(ev)
+    ev.add_argument("--dwell", dest="dwell_correction", action="store_true", default=True,
+                    help="Perform dwell correction of homopolymer lengths")
+    ev.add_argument("--no-dwell", dest="dwell_correction", action="store_false")
+    ev.add_argument("--dump", default=None, help="Dump annotated events to HDF5 file")
+    ev.add_argument("--hdf5-compression", type=int, default=1)
+    ev.add_argument("--hdf5-chunk", type=int, default=200)
+    ev.add_argument("files", nargs="+", help="fast5 files or directories")
+
+    # ---- squiggle
+    sq = sub.add_parser("squiggle", help="sequence -> predicted squiggle")
+    sq.add_argument("--model", "-m", default="squiggle_r94",
+                    choices=["squiggle_r94", "squiggle_r94_rna", "squiggle_r10"])
+    sq.add_argument("--limit", "-l", type=int, default=0)
+    sq.add_argument("--output", "-o", default=None)
+    sq.add_argument("--prefix", "-p", default="")
+    sq.add_argument("--rescale", dest="rescale", action="store_true", default=False,
+                    help="Rescale network output")
+    sq.add_argument("--no-rescale", dest="rescale", action="store_false")
+    sq.add_argument("files", nargs="+", help="FASTA files")
+
+    # ---- mappy
+    mp = sub.add_parser("mappy", help="align raw signal to predicted squiggle")
+    _add_common(mp)
+    mp.add_argument("--model", default="squiggle_r94",
+                    choices=["squiggle_r94", "squiggle_r94_rna", "squiggle_r10"])
+    mp.add_argument("--backprob", "-b", type=float, default=0.0,
+                    help="Probability of backwards movement")
+    mp.add_argument("--skippen", "-k", type=float, default=5000.0,
+                    help="Penalty for skipping position")
+    mp.add_argument("--localpen", type=float, default=2.0, help="Penalty for local matching")
+    mp.add_argument("--minscore", type=float, default=5.0,
+                    help="Minimum possible score for matching emission")
+    mp.add_argument("--rate", "-r", type=float, default=1.0,
+                    help="Translocation rate relative to standard squiggle")
+    mp.add_argument("fasta", help="FASTA file")
+    mp.add_argument("fast5", help="fast5 file")
+
+    # ---- seqmappy
+    sm = sub.add_parser("seqmappy", help="map basecall posterior to a sequence")
+    _add_common(sm)
+    sm.add_argument("--localpen", type=float, default=4.0, help="Penalty for local matching")
+    sm.add_argument("--min_prob", "-m", type=float, default=1e-5)
+    sm.add_argument("--skip", "-s", dest="skip_pen", type=float, default=0.0)
+    sm.add_argument("--stay", "-y", dest="stay_pen", type=float, default=0.0)
+    sm.add_argument("--temperature1", type=float, default=1.0)
+    sm.add_argument("--temperature2", type=float, default=1.0)
+    sm.add_argument("fasta", help="FASTA file")
+    sm.add_argument("fast5", help="fast5 file")
+
+    # ---- event_table
+    et = sub.add_parser("event_table", help="dump detected events as TSV")
+    _add_common(et)
+    et.add_argument("files", nargs="+", help="fast5 files or directories")
+
+    sub.add_parser("version", help="print version")
+    sub.add_parser("licence", help="print licensing information")
+    sub.add_parser("license", help="print licensing information")
+    hp = sub.add_parser("help", help="print help")
+    hp.add_argument("topic", nargs="?", default=None)
+    return top
+
+
+def main_raw(args) -> int:
+    from scrappie_tpu.io.fasta import format_fasta, format_sam
+    from scrappie_tpu.parallel.runner import BasecallEngine
+
+    engine = BasecallEngine(args.model, chunk_len=args.chunk_len, overlap=args.overlap,
+                            batch_size=args.batch, min_prob=args.min_prob,
+                            tempW=args.temperature1, tempb=args.temperature2)
+    results = engine.basecall_files(
+        args.files, limit=args.limit,
+        trim_start=args.trim[0], trim_end=args.trim[1],
+        varseg_chunk=args.segmentation[0], varseg_thresh=args.segmentation[1],
+        stay_pen=args.stay_pen, skip_pen=args.skip_pen, local_pen=args.local_pen,
+        use_slip=args.use_slip,
+        homopolymer=None if args.model == "rnnrf_r94" else args.homopolymer,
+    )
+    fh = _out(args)
+    nread = 0
+    for name, r in results:
+        if r.sequence is None:
+            print(f"No basecall for {name}", file=sys.stderr)
+            continue
+        nread += 1
+        primary = (r.uuid or name) if args.uuid else name
+        if args.format == "fasta":
+            fh.write(format_fasta(primary, r.sequence, filename=name, uuid=r.uuid or "",
+                                  score=r.score, nblock=r.nblock, nsample=r.nsample,
+                                  trim=(r.trim_start, r.trim_end), prefix=args.prefix))
+        else:
+            fh.write(format_sam(primary, r.sequence, prefix=args.prefix))
+    if fh is not sys.stdout:
+        fh.close()
+    print(f"Basecalled {nread} reads", file=sys.stderr)
+    return 0
+
+
+def main_events(args) -> int:
+    import json
+
+    from scrappie_tpu.api import basecall_events
+    from scrappie_tpu.io.fast5 import iterate_fast5, read_raw
+    from scrappie_tpu.io.fasta import format_sam
+
+    files = iterate_fast5(args.files)
+    if args.limit:
+        files = files[: args.limit]
+    fh = _out(args)
+    for f in files:
+        try:
+            rs = read_raw(f)
+        except Exception as e:
+            print(f"Failed to read {f}: {e}", file=sys.stderr)
+            continue
+        seq, score, et, start, end = basecall_events(
+            rs.raw, trim_start=args.trim[0], trim_end=args.trim[1],
+            varseg_chunk=args.segmentation[0], varseg_thresh=args.segmentation[1],
+            min_prob=args.min_prob, tempW=args.temperature1, tempb=args.temperature2,
+            stay_pen=args.stay_pen, skip_pen=args.skip_pen, local_pen=args.local_pen,
+            use_slip=args.use_slip, dwell_correction=args.dwell_correction,
+        )
+        if seq is None:
+            print(f"No basecall for {f}", file=sys.stderr)
+            continue
+        nev = et.end - et.start
+        primary = (rs.uuid or str(f)) if args.uuid else str(f)
+        if args.format == "fasta":
+            meta = {"filename": str(f), "uuid": rs.uuid or "",
+                    "normalised_score": -score / nev, "nevent": nev,
+                    "sequence_length": len(seq),
+                    "events_per_base": nev / len(seq)}
+            fh.write(f">{args.prefix}{primary}  {json.dumps(meta)}\n{seq}\n")
+        else:
+            fh.write(format_sam(primary, seq, prefix=args.prefix))
+        if args.dump:
+            from scrappie_tpu.io.fast5 import write_annotated_events
+
+            write_annotated_events(args.dump, str(f).replace("/", "_"), et,
+                                   args.hdf5_chunk, args.hdf5_compression)
+    if fh is not sys.stdout:
+        fh.close()
+    return 0
+
+
+def main_squiggle(args) -> int:
+    from scrappie_tpu.api import sequence_to_squiggle
+    from scrappie_tpu.io.fasta import read_fasta
+
+    fh = _out(args)
+    count = 0
+    for f in args.files:
+        for rec in read_fasta(f):
+            if args.limit and count >= args.limit:
+                break
+            count += 1
+            sq = sequence_to_squiggle(rec.seq, model=args.model, rescale=args.rescale)
+            fh.write(f"#{args.prefix}{rec.name}\n")
+            fh.write("pos\tbase\tcurrent\tsd\tdwell\n")
+            for i, base in enumerate(rec.seq):
+                fh.write(f"{i}\t{base}\t{sq[i,0]:3.6f}\t{sq[i,1]:3.6f}\t{sq[i,2]:3.6f}\n")
+    if fh is not sys.stdout:
+        fh.close()
+    return 0
+
+
+def main_mappy(args) -> int:
+    from scrappie_tpu.api import sequence_to_squiggle
+    from scrappie_tpu.decode.dtw import squiggle_match_viterbi
+    from scrappie_tpu.io.fast5 import read_raw
+    from scrappie_tpu.io.fasta import read_first_sequence
+    from scrappie_tpu.signal.trim import trim_and_segment_raw
+    from scrappie_tpu.utils.maths import medmad_normalise
+
+    rec = read_first_sequence(args.fasta)
+    if rec is None:
+        print(f"Failed to open {args.fasta!r} for input.", file=sys.stderr)
+        return 1
+    rs = read_raw(args.fast5)
+    rt = trim_and_segment_raw(rs, args.trim[0], args.trim[1],
+                              args.segmentation[0], args.segmentation[1])
+    if rt is None:
+        print(f"Failed to trim signal from {args.fast5!r}.", file=sys.stderr)
+        return 1
+    norm = medmad_normalise(rt.trimmed)
+
+    squiggle = sequence_to_squiggle(rec.seq, model=args.model, rescale=False)
+    score, path = squiggle_match_viterbi(
+        norm, squiggle, rate=args.rate, prob_back=args.backprob,
+        local_pen=args.localpen, skip_pen=args.skippen, minscore=args.minscore,
+    )
+    full = np.full(rt.n, -1, dtype=np.int64)
+    full[rt.start : rt.end] = path
+    raw = rs.raw
+
+    fh = _out(args)
+    fh.write(f"# {args.fast5} to {args.fasta}  (score = {score:f})\n")
+    fh.write("idx\tsignal\tpos\tbase\tcurrent\tsd\tdwell\n")
+    for i in range(rt.n):
+        pos = full[i]
+        if pos >= 0:
+            fh.write(
+                f"{i}\t{raw[i]:3.6f}\t{pos}\t{rec.seq[pos]}\t{squiggle[pos,0]:3.6f}"
+                f"\t{np.exp(squiggle[pos,1]):3.6f}\t{np.exp(-squiggle[pos,2]):3.6f}\n"
+            )
+        else:
+            sig = raw[i] if rt.start <= i < rt.end else float("nan")
+            fh.write(f"{i}\t{sig:3.6f}\t{pos}\tN\tnan\tnan\tnan\n")
+    if fh is not sys.stdout:
+        fh.close()
+    return 0
+
+
+def main_seqmappy(args) -> int:
+    from scrappie_tpu.api import RawTable, calc_post, encode_bases
+    from scrappie_tpu.decode.mapping import map_to_sequence_viterbi
+    from scrappie_tpu.io.fast5 import read_raw
+    from scrappie_tpu.io.fasta import read_first_sequence
+
+    rec = read_first_sequence(args.fasta)
+    if rec is None:
+        print(f"Failed to open {args.fasta!r} for input.", file=sys.stderr)
+        return 1
+    rs = read_raw(args.fast5)
+    rt = RawTable(rs.raw).trim(args.trim[0], args.trim[1],
+                               args.segmentation[0], args.segmentation[1]).scale()
+    post = calc_post(rt, "rgrgr_r94", min_prob=args.min_prob,
+                     tempW=args.temperature1, tempb=args.temperature2)
+    states = encode_bases(rec.seq, 5)
+    score, path = map_to_sequence_viterbi(
+        post.data(), states, args.stay_pen, args.skip_pen, args.localpen,
+        want_path=True,
+    )
+    nblock = len(post)
+    fh = _out(args)
+    fh.write(f"# {args.fast5} to {args.fasta} -- score {-score:f} over {nblock} blocks"
+             f" ({-score / nblock:f} per block)\n")
+    fh.write("block\tpos\n")
+    for i in range(nblock):
+        fh.write(f"{i}\t{path[i]}\n")
+    if fh is not sys.stdout:
+        fh.close()
+    return 0
+
+
+def main_event_table(args) -> int:
+    from scrappie_tpu.io.fast5 import iterate_fast5, read_raw
+    from scrappie_tpu.signal.events import detect_events
+    from scrappie_tpu.signal.trim import trim_and_segment_raw
+
+    fh = _out(args)
+    for f in iterate_fast5(args.files):
+        try:
+            rs = read_raw(f)
+        except Exception as e:
+            print(f"Failed to read {f}: {e}", file=sys.stderr)
+            continue
+        rt = trim_and_segment_raw(rs, args.trim[0], args.trim[1],
+                                  args.segmentation[0], args.segmentation[1])
+        if rt is None:
+            print(f"No events returned for {f}", file=sys.stderr)
+            continue
+        et = detect_events(rt)
+        fh.write(f"# {f}\n")
+        fh.write("#event\tstart\tmean\tstdv\tdwell\n")
+        for i, ev in enumerate(et.event):
+            fh.write(f"{i}\t{ev['start']}\t{ev['mean']:f}\t{ev['stdv']:f}\t{int(ev['length'])}\n")
+    if fh is not sys.stdout:
+        fh.close()
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    if getattr(args, "licence", False) or args.command in ("licence", "license"):
+        print(LICENCE)
+        return 0
+    if args.command == "version":
+        import scrappie_tpu
+
+        print(f"scrappie_tpu {scrappie_tpu.__version__}")
+        return 0
+    if args.command == "help":
+        if args.topic:
+            parser.parse_args([args.topic, "--help"])
+        else:
+            parser.print_help()
+        return 0
+
+    return {
+        "raw": main_raw,
+        "events": main_events,
+        "squiggle": main_squiggle,
+        "mappy": main_mappy,
+        "seqmappy": main_seqmappy,
+        "event_table": main_event_table,
+    }[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,125 @@
+"""End-to-end CLI tests on bundled reads.
+
+Mirrors the reference ctest suite (CMakeLists.txt:141-160): every
+subcommand runs on the bundled data and exits 0; here we additionally
+check output structure.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+ENV = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
+SMALL_FAST5 = "/root/reference/reads/read_ch228_file118.fast5"
+
+
+def run_cli(*args, timeout=600):
+    return subprocess.run(
+        [sys.executable, "-m", "scrappie_tpu", *args],
+        capture_output=True, text=True, env=ENV, timeout=timeout,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+
+
+def test_version():
+    r = run_cli("version")
+    assert r.returncode == 0
+    assert "scrappie_tpu" in r.stdout
+
+
+def test_help():
+    r = run_cli("help")
+    assert r.returncode == 0
+    for cmd in ("raw", "events", "squiggle", "mappy", "seqmappy", "event_table"):
+        assert cmd in r.stdout
+
+
+def test_licence():
+    r = run_cli("licence")
+    assert r.returncode == 0 and "scrappie" in r.stdout.lower()
+
+
+def test_event_table(reads_dir):
+    r = run_cli("event_table", SMALL_FAST5)
+    assert r.returncode == 0
+    lines = r.stdout.splitlines()
+    assert lines[1].startswith("#event")
+    first = lines[2].split("\t")
+    assert first[0] == "0" and first[1] == "0"
+    assert len(lines) > 1000
+
+
+def test_squiggle(reads_dir):
+    r = run_cli("squiggle", "--limit", "1", str(reads_dir / "test_squiggles.fa"))
+    assert r.returncode == 0
+    lines = r.stdout.splitlines()
+    assert lines[0].startswith("#")
+    assert lines[1] == "pos\tbase\tcurrent\tsd\tdwell"
+    assert len(lines[2].split("\t")) == 5
+
+
+def test_raw_fasta(reads_dir):
+    r = run_cli("raw", "--local", "20", "--uuid", SMALL_FAST5)
+    assert r.returncode == 0, r.stderr
+    header = r.stdout.splitlines()[0]
+    assert header.startswith(">")
+    meta = json.loads(header.split(None, 1)[1])
+    for key in ("filename", "uuid", "normalised_score", "nblock",
+                "sequence_length", "blocks_per_base", "nsample", "trim"):
+        assert key in meta
+    seq = r.stdout.splitlines()[1]
+    assert set(seq) <= set("ACGT") and len(seq) == meta["sequence_length"]
+
+
+def test_raw_sam_crf(reads_dir):
+    r = run_cli("raw", "--model", "rnnrf_r94", "-f", "sam", SMALL_FAST5)
+    assert r.returncode == 0, r.stderr
+    fields = r.stdout.splitlines()[0].split("\t")
+    assert fields[1] == "4" and set(fields[9]) <= set("ACGT")
+
+
+def test_events_with_dump(reads_dir, tmp_path):
+    dump = tmp_path / "ev.h5"
+    r = run_cli("events", "--local", "20", "--dump", str(dump), SMALL_FAST5)
+    assert r.returncode == 0, r.stderr
+    header = r.stdout.splitlines()[0]
+    meta = json.loads(header.split(None, 1)[1])
+    assert "nevent" in meta and "events_per_base" in meta
+
+    import h5py
+    import numpy as np
+
+    with h5py.File(dump) as h:
+        key = list(h.keys())[0]
+        ev = h[key][()]
+        assert ev.dtype.names == ("start", "length", "mean", "stdv", "pos", "state")
+        # Decoded annotations present
+        assert (ev["pos"] >= 0).any()
+
+
+def test_seqmappy(reads_dir):
+    fa = reads_dir / "MINICOL228_20161012_FNFAB42578_MN17976_mux_scan_HG_52221_ch174_read172_strand.fa"
+    f5 = reads_dir / "MINICOL228_20161012_FNFAB42578_MN17976_mux_scan_HG_52221_ch174_read172_strand.fast5"
+    r = run_cli("seqmappy", str(fa), str(f5))
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0].startswith("#") and "score" in lines[0]
+    assert lines[1] == "block\tpos"
+
+
+def test_mappy_short(reads_dir, tmp_path):
+    # Short sequence keeps the O(nsample x npos) DP small
+    fa = tmp_path / "short.fa"
+    rec = (reads_dir / "test_squiggles.fa").read_text().splitlines()
+    fa.write_text(rec[0] + "\n" + rec[1][:300] + "\n")
+    r = run_cli("mappy", str(fa), SMALL_FAST5)
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert "score" in lines[0]
+    assert lines[1].startswith("idx")
+    # Some samples mapped to positions
+    mapped = [l for l in lines[2:] if "\tN\t" not in l]
+    assert len(mapped) > 100
