@@ -50,7 +50,14 @@ def find_runs(path: np.ndarray, klen: int) -> list[tuple[int, int, int]]:
     Returns (start, length, base) per run.  A run starts either at the
     first (YYYYY|stay) after an XYYYY block (X != Y), or at the first
     YYYYY following a ZXYYY block (skip entry) possibly after stays.
+    Dispatches to the native C++ kernel when available.
     """
+    try:
+        from scrappie_tpu.native import find_runs as native_find_runs
+
+        return native_find_runs(path, klen)
+    except ImportError:
+        pass
     path = np.asarray(path)
     n = len(path)
     fkm1 = NBASE ** (klen - 1)
@@ -119,7 +126,9 @@ def is_kmer_homopolymer(kmer: int, klen: int) -> bool:
 
 
 def calibrated_dwell(hdwell: float, base: int, scale: float, base_adj) -> int:
-    return int(round((hdwell - base_adj[base]) / scale))
+    # roundf semantics (half away from zero), not Python banker's rounding
+    x = (hdwell - base_adj[base]) / scale
+    return int(np.floor(x + 0.5)) if x >= 0 else int(np.ceil(x - 0.5))
 
 
 def dwell_corrected_overlapper(path: np.ndarray, dwell: np.ndarray, nkmer: int,
@@ -134,6 +143,12 @@ def dwell_corrected_overlapper(path: np.ndarray, dwell: np.ndarray, nkmer: int,
     path = np.asarray(path)
     dwell = np.asarray(dwell)
     klen = kmer_len_from_nkmer(nkmer)
+    try:
+        from scrappie_tpu.native import dwell_overlapper as native_dwell
+
+        return native_dwell(path, dwell, klen, scale, base_adj)
+    except ImportError:
+        pass
     nonstay = np.flatnonzero(path >= 0)
     if len(nonstay) == 0:
         return None

@@ -45,6 +45,23 @@ class SquiggleSimulator:
         noise = rng.laplace(0.0, 1.0, size=len(sig)) * sd[base_at_sample]
         return (sig + noise).astype(np.float32), bases, base_at_sample
 
+    def simulate_batch(self, batch: int, seqlen: int):
+        """Batched variant: ONE squiggle forward for all reads.
+
+        Returns (currents [B, L], sds [B, L], dwells [B, L] int, bases [B, L]).
+        """
+        rng = self.rng
+        bases = rng.integers(0, 4, size=(batch, seqlen))
+        sq = np.asarray(
+            forward.squiggle_forward(self.params, bases.astype(np.int32),
+                                     transform_units=True)
+        )
+        current, sd, dwell = sq[..., 0], sq[..., 1], sq[..., 2]
+        dwells = np.maximum(
+            1, np.round(dwell * np.exp(0.25 * rng.standard_normal(dwell.shape)))
+        ).astype(np.int64)
+        return current, sd, dwells, bases
+
     def labelled_batch(self, batch: int, nsample: int, stride: int,
                        klen: int = KMER_LEN):
         """Fixed-shape batch: signals [B, nsample, 1], labels [B, nblock].
@@ -52,37 +69,39 @@ class SquiggleSimulator:
         Stay class = NSTATE-1.  Blocks before klen bases of history get
         label -1 (masked out of the loss).
         """
+        rng = self.rng
         nblock = nsample // stride
         sigs = np.zeros((batch, nsample, 1), dtype=np.float32)
         labels = np.full((batch, nblock), -1, dtype=np.int32)
-        # Enough bases to cover nsample samples at >=1 sample/base
-        seqlen = int(nsample / 4) + klen + 8
+        # Enough bases to cover nsample samples at worst-case short dwells
+        seqlen = int(nsample / 3) + klen + 16
+        current, sd, dwells, bases = self.simulate_batch(batch, seqlen)
+        mask = 4**klen - 1
         for b in range(batch):
-            sig, bases, base_at = self.simulate_read(seqlen)
-            while len(sig) < nsample:
-                sig2, bases2, base_at2 = self.simulate_read(seqlen)
-                base_at2 = base_at2 + bases.shape[0]
-                bases = np.concatenate([bases, bases2])
-                base_at = np.concatenate([base_at, base_at2])
-                sig = np.concatenate([sig, sig2])
-            sig = sig[:nsample]
+            base_at = np.repeat(np.arange(seqlen), dwells[b])
+            if len(base_at) < nsample:  # extremely unlikely; re-tile
+                base_at = np.tile(base_at, 2)
             base_at = base_at[:nsample]
-            # med-mad normalise like the real pipeline
+            sig = current[b, base_at]
+            sig = sig + rng.laplace(0.0, 1.0, size=nsample) * sd[b, base_at]
             med = np.median(sig)
             mad = np.median(np.abs(sig - med)) * 1.4826
             sigs[b, :, 0] = (sig - med) / max(mad, 1e-6)
 
-            # Block labels
-            last = base_at[stride - 1 :: stride][:nblock]
-            kmers = np.zeros(len(bases), dtype=np.int64)
+            # Rolling kmer per base (vectorised)
+            kmers = np.zeros(seqlen, dtype=np.int64)
             k = 0
-            for j in range(len(bases)):
-                k = ((k << 2) | int(bases[j])) & (4**klen - 1)
+            for j in range(klen):
+                k = (k << 2) | bases[b, j]
+            kmers[klen - 1] = k
+            for j in range(klen, seqlen):
+                k = ((k << 2) | bases[b, j]) & mask
                 kmers[j] = k
+
+            last = base_at[stride - 1 :: stride][:nblock]
             lab = kmers[last]
             prev_last = np.concatenate([[-1], last[:-1]])
-            stay = last == prev_last
-            lab = np.where(stay, NSTATE_TRANSDUCER - 1, lab)
-            lab[last < klen - 1] = -1  # incomplete history
+            lab = np.where(last == prev_last, NSTATE_TRANSDUCER - 1, lab)
+            lab[last < klen - 1] = -1
             labels[b] = lab
         return sigs, labels
