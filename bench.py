@@ -20,8 +20,13 @@ import time
 
 import numpy as np
 
-# Estimated scrappie CPU samples/s for rgrgr_r94 (see BASELINE.md).
-BASELINE_CPU_SAMPLES_PER_SEC = 100_000.0
+# MEASURED scrappie CPU samples/s for rgrgr_r94: the reference compute
+# path (nanonet_rgrgr_r94_posterior + decode_transducer + overlapper)
+# built from source (gcc -O3 -march=native + OpenBLAS) with our exported
+# weights, run on a bundled read.  65.4k samples/s on one Xeon 2.7GHz
+# core; scrappie's parallelism is read-level across cores.  See
+# BASELINE.md and scripts/build_baseline.sh.
+BASELINE_CPU_SAMPLES_PER_SEC = 65_400.0
 
 CHUNK_LEN = 10000
 BATCH = 32
