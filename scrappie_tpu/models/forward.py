@@ -36,7 +36,19 @@ _CONV_ACT = {"elu": elu, "tanh": jnp.tanh}
 def rgrgr_posterior(params, sig, *, conv_activation="elu", stride=5,
                     min_prob=1e-5, tempW=1.0, tempb=1.0, return_log=True):
     """rgrgr_{r94,r941,r10}: conv -> 5 alternating single-direction GRUs
-    -> softmax with temperature (ref src/networks.c:250-394)."""
+    -> softmax with temperature (ref src/networks.c:250-394).
+
+    On TPU the GRU stack runs through the Pallas scan kernel (time-major
+    internally); off-TPU (and under `ops.pallas(False)`, e.g. for
+    training, which needs a VJP) it is the pure lax.scan program.
+    """
+    from scrappie_tpu import ops
+
+    if ops.pallas_enabled():
+        lp = rgrgr_posterior_tm(params, sig, conv_activation=conv_activation,
+                                stride=stride, min_prob=min_prob, tempW=tempW,
+                                tempb=tempb, return_log=return_log)
+        return jnp.moveaxis(lp, 0, 1)
     x = conv1d(sig, params["conv_W"], params["conv_b"], int(stride))
     x = _CONV_ACT[conv_activation](x)
     for i, d in enumerate(GRU_DIRS, start=1):
@@ -44,6 +56,39 @@ def rgrgr_posterior(params, sig, *, conv_activation="elu", stride=5,
         xin = feedforward(x, params[f"{pre}_iW"], params[f"{pre}_b"])
         x = gru(xin, params[f"{pre}_sW"], params[f"{pre}_sW2"], reverse=(d == "b"))
     post = softmax_with_temperature(x, params["FF_W"], params["FF_b"], tempW, tempb)
+    return robustlog(post, min_prob) if return_log else post
+
+
+def rgrgr_posterior_tm(params, sig, *, conv_activation="elu", stride=5,
+                       min_prob=1e-5, tempW=1.0, tempb=1.0, return_log=True):
+    """Time-major Pallas variant of rgrgr_posterior: sig [B, T, 1] ->
+    log posterior [nblock, B, nstate].
+
+    Keeping the whole stack time-major means one cheap transpose right
+    after the conv (where the tensor is smallest) and none between the
+    five GRU layers or before the Viterbi kernel, which also consumes
+    time-major blocks.  Hidden lanes stay 128-padded through the stack
+    (pad lanes are exactly zero, see ops/gru.py).
+    """
+    from scrappie_tpu.ops.gru import gru_layer_tm
+
+    B = sig.shape[0]
+    pad = (-B) % 8
+    if pad:
+        sig = jnp.pad(sig, ((0, pad), (0, 0), (0, 0)))
+    x = conv1d(sig, params["conv_W"], params["conv_b"], int(stride))
+    x = _CONV_ACT[conv_activation](x)
+    x = jnp.moveaxis(x, 0, 1)  # [nblock, B, C]
+    for i, d in enumerate(GRU_DIRS, start=1):
+        pre = f"gru{d.upper()}{i}"
+        x = gru_layer_tm(x, params[f"{pre}_iW"], params[f"{pre}_b"],
+                         params[f"{pre}_sW"], params[f"{pre}_sW2"],
+                         reverse=(d == "b"))
+    W = params["FF_W"]
+    Wp = jnp.pad(W, ((0, x.shape[-1] - W.shape[0]), (0, 0)))
+    post = softmax_with_temperature(x, Wp, params["FF_b"], tempW, tempb)
+    if pad:
+        post = post[:, :B]
     return robustlog(post, min_prob) if return_log else post
 
 

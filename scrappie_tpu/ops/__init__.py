@@ -1,0 +1,64 @@
+"""Pallas TPU kernels for the hot sequential loops.
+
+The reference's two hot loops — the per-timestep GRU recurrence
+(ref src/layers.c:472-527) and the per-block transducer Viterbi update
+(ref src/decode.c:162-350) — are latency-bound sequential scans.  The
+XLA `lax.scan` versions in nn/rnn.py and decode/transducer.py pay tens
+of microseconds of loop machinery per step; these kernels stream
+time-major blocks HBM->VMEM through the Pallas grid pipeline (auto
+double-buffered) and carry the recurrent state in a VMEM-resident
+block, cutting the per-step cost to roughly the DMA time.
+
+Dispatch: `pallas_enabled()` is True on TPU backends (including the
+tunnelled 'axon' platform) unless overridden with `set_pallas`.  On CPU
+the kernels run only in interpreter mode (tests use tiny shapes).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+
+import jax
+
+_TPU_PLATFORMS = ("tpu", "axon")
+
+_FORCE: bool | None = None
+_env = os.environ.get("SCRAPPIE_TPU_PALLAS")
+if _env is not None:
+    _FORCE = _env not in ("0", "false", "off")
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.default_backend() in _TPU_PLATFORMS
+    except RuntimeError:
+        return False
+
+
+def pallas_enabled() -> bool:
+    """Should the compute path use the Pallas kernels?"""
+    if _FORCE is not None:
+        return _FORCE
+    return on_tpu()
+
+
+def set_pallas(value: bool | None) -> None:
+    """Force Pallas kernels on/off; None restores auto (on iff TPU)."""
+    global _FORCE
+    _FORCE = value
+
+
+@contextlib.contextmanager
+def pallas(value: bool | None):
+    old = _FORCE
+    set_pallas(value)
+    try:
+        yield
+    finally:
+        set_pallas(old)
+
+
+def interpret_mode() -> bool:
+    """Pallas interpret=True is needed off-TPU (tests on CPU)."""
+    return not on_tpu()

@@ -1,0 +1,73 @@
+"""Fully-fused single-call rgrgr basecall pipeline for TPU.
+
+conv (XLA, output channels lane-padded) -> one transpose to time-major
+-> 5 fused-projection GRU Pallas kernels -> fused posterior-head +
+Viterbi Pallas kernel -> backtrace kernel.  The only large HBM tensors
+are the per-layer hidden features [T, B, 128] and the int16 traceback;
+the [T, B, 1025] posterior never materialises.
+
+This is the chunk-level fast path (used by bench.py and anywhere whole
+chunks are decoded independently); the stitching runtime
+(parallel/runner.py) keeps posterior and decode as separate stages
+because it stitches chunk posteriors into whole-read matrices first.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from scrappie_tpu.models.specs import GRU_DIRS
+from scrappie_tpu.nn.layers import conv1d, elu
+from scrappie_tpu.ops.gru import LANE, gru_layer_fused_tm, pad_gru_params
+from scrappie_tpu.ops.viterbi import viterbi_backtrace_tm, viterbi_fused_tm
+
+_CONV_ACT = {"elu": elu, "tanh": jnp.tanh}
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("conv_activation", "stride",
+                                             "use_slip"))
+def rgrgr_basecall_fused(params, sig, *, conv_activation: str = "elu",
+                         stride: int = 5, min_prob=1e-5, tempW=1.0,
+                         tempb=1.0, stay_pen=0.0, skip_pen=0.0,
+                         local_pen=2.0, use_slip: bool = False):
+    """sig [B, T, 1] -> (logscore [B], path [B, nblock+1] int32).
+
+    Matches rgrgr_posterior + decode_transducer (ref calculate_post,
+    src/scrappie_raw.c:265-314) with Viterbi paths identical to the
+    lax.scan reference programs.
+    """
+    B = sig.shape[0]
+    pad = (-B) % 8
+    if pad:
+        sig = jnp.pad(sig, ((0, pad), (0, 0), (0, 0)))
+
+    # Conv with output channels padded to the lane width: pad weight /
+    # bias columns are zero, the activations (elu/tanh) keep 0 -> 0, so
+    # the pad lanes stay exactly zero for the GRU stack.
+    W = params["conv_W"]
+    cpad = _round_up(W.shape[2], LANE) - W.shape[2]
+    Wp = jnp.pad(W, ((0, 0), (0, 0), (0, cpad)))
+    bp = jnp.pad(params["conv_b"], (0, cpad))
+    x = _CONV_ACT[conv_activation](conv1d(sig, Wp, bp, int(stride)))
+    x = jnp.moveaxis(x, 0, 1)  # [nblock, B, 128]
+
+    for i, d in enumerate(GRU_DIRS, start=1):
+        pre = f"gru{d.upper()}{i}"
+        iWp, bgp, sWp, sW2p = pad_gru_params(
+            params[f"{pre}_iW"], params[f"{pre}_b"], params[f"{pre}_sW"],
+            params[f"{pre}_sW2"], in_pad=x.shape[-1])
+        x = gru_layer_fused_tm(x, iWp, bgp, sWp, sW2p, reverse=(d == "b"))
+
+    final, tb = viterbi_fused_tm(
+        x, params["FF_W"], params["FF_b"], min_prob=min_prob, tempW=tempW,
+        tempb=tempb, stay_pen=stay_pen, skip_pen=skip_pen,
+        local_pen=local_pen, use_slip=use_slip)
+    score, path = viterbi_backtrace_tm(final, tb)
+    return score[:B], path[:B]

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from scrappie_tpu.decode.crf import decode_crf
-from scrappie_tpu.decode.transducer import viterbi_local_backtrace, viterbi_transducer_scores
+from scrappie_tpu.decode.transducer import viterbi_decode_batch
 from scrappie_tpu.models import forward, registry
 from scrappie_tpu.models.specs import RAW_MODELS
 from scrappie_tpu.parallel import chunk as chunklib
@@ -124,10 +124,9 @@ class BasecallEngine:
                 [chunklib.neutral_pad_logpost(logposts[g], target, stay_pen)
                  for g in group]
             )
-            final, tb = viterbi_transducer_scores(
+            scores, paths = viterbi_decode_batch(
                 jnp.asarray(padded), stay_pen, skip_pen, local_pen, use_slip
             )
-            scores, paths = viterbi_local_backtrace(final, tb)
             scores = np.asarray(scores)
             paths = np.asarray(paths)
             for j, g in enumerate(group):

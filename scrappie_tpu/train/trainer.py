@@ -36,7 +36,12 @@ def posterior_fn(model: str):
 
 def loss_fn(params, sig, labels, model: str):
     """Masked framewise cross-entropy on block kmer/stay labels."""
-    lp = posterior_fn(model)(params, sig)  # [B, nblock, nstate] log probs
+    from scrappie_tpu import ops
+
+    # Training needs a VJP; the Pallas inference kernels define none, so
+    # trace the lax.scan forward here (dispatch happens at trace time).
+    with ops.pallas(False):
+        lp = posterior_fn(model)(params, sig)  # [B, nblock, nstate] log probs
     nblock = min(lp.shape[1], labels.shape[1])
     lp = lp[:, :nblock]
     labels = labels[:, :nblock]

@@ -1,0 +1,154 @@
+"""Pallas kernels vs the lax.scan reference programs.
+
+On CPU the kernels run in interpreter mode (ops.interpret_mode()), so
+shapes are tiny; the same code path compiles with Mosaic on TPU.
+Equivalence-testing an accelerated kernel against a scalar/pure
+reference mirrors the reference's own strategy (SSE decode vs
+sloika_viterbi, src/test/test_scrappie_decoding.c:33-54).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scrappie_tpu import ops
+from scrappie_tpu.decode.transducer import (
+    viterbi_local_backtrace,
+    viterbi_transducer_scores,
+)
+from scrappie_tpu.nn.layers import feedforward
+from scrappie_tpu.nn.rnn import gru
+from scrappie_tpu.ops.gru import gru_layer_tm
+from scrappie_tpu.ops.viterbi import (
+    viterbi_backtrace_tm,
+    viterbi_scores_tm,
+)
+
+
+@pytest.fixture(autouse=True)
+def _force_pallas_off_for_reference():
+    # The lax.scan reference paths must not themselves dispatch to Pallas.
+    with ops.pallas(False):
+        yield
+
+
+def _rand_logpost(B, T, nstate, seed=0):
+    rng = np.random.default_rng(seed)
+    lp = rng.standard_normal((B, T, nstate)).astype(np.float32)
+    return jnp.asarray(lp - 3.0)
+
+
+@pytest.mark.parametrize("use_slip", [False, True])
+def test_viterbi_forward_matches_scan(use_slip):
+    B, T, nstate = 5, 12, 65  # nhist = 64: divisible by 64 for slip
+    lp = _rand_logpost(B, T, nstate)
+    final_ref, tb_ref = viterbi_transducer_scores(lp, 0.3, 0.7, 2.0, use_slip)
+    final, tb = viterbi_scores_tm(jnp.moveaxis(lp, 1, 0), 0.3, 0.7, 2.0,
+                                  use_slip, interpret=True)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(final_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.moveaxis(np.asarray(tb), 0, 1),
+                                  np.asarray(tb_ref))
+
+
+def test_viterbi_backtrace_matches_scan():
+    B, T, nstate = 4, 16, 65
+    lp = _rand_logpost(B, T, nstate, seed=1)
+    final, tb_bm = viterbi_transducer_scores(lp, 0.0, 0.0, 2.0, False)
+    score_ref, path_ref = viterbi_local_backtrace(final, tb_bm)
+    tb_tm = jnp.moveaxis(tb_bm, 1, 0)
+    score, path = viterbi_backtrace_tm(final, tb_tm, interpret=True)
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score_ref),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(path_ref))
+
+
+def test_viterbi_batch_padding():
+    # B not a multiple of 8 exercises the pad/slice wrapper.
+    B, T, nstate = 3, 9, 17
+    lp = _rand_logpost(B, T, nstate, seed=2)
+    final_ref, tb_ref = viterbi_transducer_scores(lp, 0.0, 0.5, 1.5, False)
+    final, tb = viterbi_scores_tm(jnp.moveaxis(lp, 1, 0), 0.0, 0.5, 1.5,
+                                  False, interpret=True)
+    assert final.shape == (B, nstate + 1)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(final_ref),
+                               rtol=1e-6, atol=1e-6)
+    score_ref, path_ref = viterbi_local_backtrace(final_ref, tb_ref)
+    score, path = viterbi_backtrace_tm(final, tb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(path_ref))
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score_ref),
+                               rtol=1e-6)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gru_layer_matches_scan(reverse):
+    rng = np.random.default_rng(3)
+    B, T, C, S = 8, 7, 12, 96
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    iW = jnp.asarray(0.3 * rng.standard_normal((C, 3 * S)).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.standard_normal((3 * S,)).astype(np.float32))
+    sW = jnp.asarray(0.3 * rng.standard_normal((S, 2 * S)).astype(np.float32))
+    sW2 = jnp.asarray(0.3 * rng.standard_normal((S, S)).astype(np.float32))
+
+    href = gru(feedforward(x, iW, b), sW, sW2, reverse=reverse)
+    h = gru_layer_tm(jnp.moveaxis(x, 1, 0), iW, b, sW, sW2, reverse=reverse)
+    assert h.shape == (T, B, 128)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(h[..., :S]), 0, 1),
+                               np.asarray(href), rtol=1e-5, atol=1e-5)
+    # pad lanes must be exactly zero (layer chaining relies on it)
+    assert np.all(np.asarray(h[..., S:]) == 0.0)
+
+
+def test_rgrgr_posterior_tm_matches_batchmajor():
+    from scrappie_tpu.models import forward, registry
+    from scrappie_tpu.models.specs import RAW_MODELS
+
+    spec = RAW_MODELS["rgrgr_r94"]
+    params = {k: jnp.asarray(v) for k, v in registry.load_params("rgrgr_r94").items()}
+    rng = np.random.default_rng(4)
+    sig = jnp.asarray(rng.standard_normal((2, 60, 1)).astype(np.float32))
+    ref = forward.rgrgr_posterior(params, sig, conv_activation=spec.conv_activation,
+                                  stride=spec.stride)
+    tm = forward.rgrgr_posterior_tm(params, sig,
+                                    conv_activation=spec.conv_activation,
+                                    stride=spec.stride)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(tm), 0, 1),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_pipeline_matches_two_stage():
+    from scrappie_tpu.decode.transducer import (
+        viterbi_local_backtrace,
+        viterbi_transducer_scores,
+    )
+    from scrappie_tpu.models import forward, registry
+    from scrappie_tpu.models.specs import RAW_MODELS
+    from scrappie_tpu.ops.pipeline import rgrgr_basecall_fused
+
+    spec = RAW_MODELS["rgrgr_r94"]
+    params = {k: jnp.asarray(v) for k, v in registry.load_params("rgrgr_r94").items()}
+    rng = np.random.default_rng(7)
+    sig = jnp.asarray(rng.standard_normal((2, 60, 1)).astype(np.float32))
+    lp = forward.rgrgr_posterior(params, sig, conv_activation=spec.conv_activation,
+                                 stride=spec.stride)
+    final, tb = viterbi_transducer_scores(lp, 0.0, 0.0, 2.0, False)
+    score_ref, path_ref = viterbi_local_backtrace(final, tb)
+    score, path = rgrgr_basecall_fused(params, sig,
+                                       conv_activation=spec.conv_activation,
+                                       stride=spec.stride)
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(path_ref))
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score_ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_decode_transducer_dispatch_pallas():
+    # Force the Pallas dispatch path end-to-end (interpret on CPU).
+    from scrappie_tpu.decode.transducer import decode_transducer
+
+    lp = _rand_logpost(2, 10, 17, seed=5)
+    with ops.pallas(False):
+        score_ref, path_ref = decode_transducer(lp, 0.0, 0.0, 2.0)
+    with ops.pallas(True):
+        score, path = decode_transducer(lp, 0.0, 0.0, 2.0)
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score_ref), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(path_ref))
