@@ -166,14 +166,19 @@ def _gru_fused_kernel(x_ref, iW_ref, b_ref, sW_ref, sW2_ref, y_ref, h_ref,
         h_ref[:] = jnp.zeros_like(h_ref)
 
     h = h_ref[:]
-    iW = iW_ref[:]
     bb = b_ref[:]
     sW = sW_ref[:]
     sW2 = sW2_ref[:]
+    # Project all CT steps in one MXU call (the projection does not
+    # depend on h, so it needn't serialise with the recurrence).
+    CTB = x_ref.shape[0] * x_ref.shape[1]
+    xproj = jnp.dot(x_ref[:].reshape(CTB, x_ref.shape[2]), iW_ref[:],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    xproj = xproj.reshape(x_ref.shape[0], x_ref.shape[1], 3 * S)
     steps = range(CT - 1, -1, -1) if reverse else range(CT)
     for i in steps:
-        xt = jnp.dot(x_ref[i], iW, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST) + bb
+        xt = xproj[i] + bb
         rec = jnp.dot(h, sW, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
         zr = jax.nn.sigmoid(xt[:, : 2 * S] + rec)

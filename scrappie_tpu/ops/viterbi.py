@@ -269,7 +269,7 @@ def viterbi_scores_tm(lp_tm, stay_pen=0.0, skip_pen=0.0, local_pen=2.0,
 
 
 def _bt_kernel(last_ref, tbh_ref, tbl_ref, first_ref, emit_ref, cur_ref,
-               *, nhist):
+               *, nhist, CT):
     t = pl.program_id(1)
     T = pl.num_programs(1)
 
@@ -277,23 +277,28 @@ def _bt_kernel(last_ref, tbh_ref, tbl_ref, first_ref, emit_ref, cur_ref,
     def _():
         cur_ref[:] = last_ref[:]
 
-    cur = cur_ref[:]                        # [Bt, 1] int32 (scratch carry)
-    tbh = tbh_ref[0].astype(jnp.int32)      # [Bt, nhist]
-    tbl = tbl_ref[0].astype(jnp.int32)      # [Bt, 2]
-    lanesh = jax.lax.broadcasted_iota(jnp.int32, tbh.shape, 1)
-    lanesl = jax.lax.broadcasted_iota(jnp.int32, tbl.shape, 1) + nhist
-    state = (jnp.sum(jnp.where(lanesh == cur, tbh, 0), axis=1, keepdims=True)
-             + jnp.sum(jnp.where(lanesl == cur, tbl, 0), axis=1, keepdims=True))
-    emit_ref[0] = jnp.where(state >= 0, cur, -1)
-    cur_ref[:] = jnp.where(state >= 0, state, cur)
+    cur = cur_ref[:]                            # [Bt, 1] int32 (scratch)
+    for i in range(CT - 1, -1, -1):             # walk the block backwards
+        tbh = tbh_ref[i].astype(jnp.int32)      # [Bt, nhist]
+        tbl = tbl_ref[i].astype(jnp.int32)      # [Bt, 2]
+        lanesh = jax.lax.broadcasted_iota(jnp.int32, tbh.shape, 1)
+        lanesl = jax.lax.broadcasted_iota(jnp.int32, tbl.shape, 1) + nhist
+        state = (jnp.sum(jnp.where(lanesh == cur, tbh, 0), axis=1,
+                         keepdims=True)
+                 + jnp.sum(jnp.where(lanesl == cur, tbl, 0), axis=1,
+                           keepdims=True))
+        emit_ref[i] = jnp.where(state >= 0, cur, -1)
+        cur = jnp.where(state >= 0, state, cur)
+    cur_ref[:] = cur
 
     @pl.when(t == T - 1)
     def _():
         first_ref[:] = cur_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def viterbi_backtrace_tm(final, tb_tm, interpret: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("interpret", "ct"))
+def viterbi_backtrace_tm(final, tb_tm, interpret: bool | None = None,
+                         ct: int = 8):
     """Walk the time-major traceback (ref src/decode.c:58-98).
 
     final [B, nhist+2], tb_tm [T, B, nhist+2] int16 ->
@@ -317,31 +322,44 @@ def viterbi_backtrace_tm(final, tb_tm, interpret: bool | None = None):
     Bt = _pick_batch_tile(Bp)
     nbt = Bp // Bt
 
+    # Walking starts at time T-1; pad the FRONT so pad rows (processed
+    # last) land before t=0 and are sliced off.  Pad tb is "stay"
+    # everywhere (-1), which leaves the carry state untouched.
+    CT = min(ct, T)
+    tpad = (-T) % CT
+    if tpad:
+        tb_tm = jnp.pad(tb_tm, ((tpad, 0), (0, 0), (0, 0)),
+                        constant_values=-1)
+    Tp = T + tpad
+    nt = Tp // CT
+
     tbh = tb_tm[:, :, :nhist]
     tbl = tb_tm[:, :, nhist:]
 
     first, emits = pl.pallas_call(
-        functools.partial(_bt_kernel, nhist=nhist),
-        grid=(nbt, T),
+        functools.partial(_bt_kernel, nhist=nhist, CT=CT),
+        grid=(nbt, nt),
         in_specs=[
             pl.BlockSpec((Bt, 1), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bt, nhist), lambda b, t: (T - 1 - t, b, 0),
+            pl.BlockSpec((CT, Bt, nhist), lambda b, t: (nt - 1 - t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bt, 2), lambda b, t: (T - 1 - t, b, 0),
+            pl.BlockSpec((CT, Bt, 2), lambda b, t: (nt - 1 - t, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((Bt, 1), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Bt, 1), lambda b, t: (T - 1 - t, b, 0),
+            pl.BlockSpec((CT, Bt, 1), lambda b, t: (nt - 1 - t, b, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((T, Bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, Bp, 1), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((Bt, 1), jnp.int32)],
         interpret=interpret,
     )(last[:, None], tbh, tbl)
+    if tpad:
+        emits = emits[tpad:]
 
     path = jnp.concatenate([first[:B], emits[:, :B, 0].T], axis=1)
     # Transcode leading start / trailing end runs to stay (-1),
