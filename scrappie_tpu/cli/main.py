@@ -100,6 +100,10 @@ def build_parser():
     raw.add_argument("--overlap", type=int, default=1000,
                      help="Chunk overlap in samples")
     raw.add_argument("--batch", type=int, default=8, help="Device batch size")
+    raw.add_argument("--profile", default=None, metavar="DIR",
+                     help="Capture a JAX profiler (XPlane) trace to DIR")
+    raw.add_argument("--stage-report", action="store_true", default=False,
+                     help="Log per-stage wall-clock timings (JSON, stderr)")
     raw.add_argument("files", nargs="+", help="fast5 files or directories")
 
     # ---- events
@@ -172,17 +176,27 @@ def main_raw(args) -> int:
     from scrappie_tpu.io.fasta import format_fasta, format_sam
     from scrappie_tpu.parallel.runner import BasecallEngine
 
+    import contextlib
+
+    from scrappie_tpu.utils.tracing import profile
+
     engine = BasecallEngine(args.model, chunk_len=args.chunk_len, overlap=args.overlap,
                             batch_size=args.batch, min_prob=args.min_prob,
                             tempW=args.temperature1, tempb=args.temperature2)
-    results = engine.basecall_files(
-        args.files, limit=args.limit,
-        trim_start=args.trim[0], trim_end=args.trim[1],
-        varseg_chunk=args.segmentation[0], varseg_thresh=args.segmentation[1],
-        stay_pen=args.stay_pen, skip_pen=args.skip_pen, local_pen=args.local_pen,
-        use_slip=args.use_slip,
-        homopolymer=None if args.model == "rnnrf_r94" else args.homopolymer,
-    )
+    prof = profile(args.profile) if args.profile else contextlib.nullcontext()
+    with prof:
+        results = engine.basecall_files(
+            args.files, limit=args.limit,
+            trim_start=args.trim[0], trim_end=args.trim[1],
+            varseg_chunk=args.segmentation[0], varseg_thresh=args.segmentation[1],
+            stay_pen=args.stay_pen, skip_pen=args.skip_pen, local_pen=args.local_pen,
+            use_slip=args.use_slip,
+            homopolymer=None if args.model == "rnnrf_r94" else args.homopolymer,
+        )
+    if args.stage_report:
+        import json as _json
+
+        print(_json.dumps({"stages": engine.stage.report()}), file=sys.stderr)
     fh = _out(args)
     nread = 0
     for name, r in results:

@@ -16,6 +16,9 @@ def read_raw(filename, scale_to_pA: bool = True) -> RawSignal:
     """Read the first raw read (ref read_raw, src/fast5_interface.c:130-217)."""
     import h5py
 
+    from scrappie_tpu.utils.chaos import maybe_fail
+
+    maybe_fail("fast5.read_raw")
     with h5py.File(filename, "r") as h:
         reads = h["Raw/Reads"]
         name = sorted(reads.keys())[0]

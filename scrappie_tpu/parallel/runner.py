@@ -89,6 +89,9 @@ class BasecallEngine:
         else:
             fn = functools.partial(forward.raw_posterior, **kwargs)
         self._posterior = jax.jit(lambda p, x: fn(p, x))
+        from scrappie_tpu.utils.tracing import Stage
+
+        self.stage = Stage()  # wall-clock accounting per pipeline stage
 
     # ------------------------------------------------------------- pipeline
 
@@ -140,18 +143,31 @@ class BasecallEngine:
                          use_slip=False,
                          homopolymer: HomopolymerMode | str | None = None
                          ) -> list[ReadResult]:
-        # 1. host-side preprocess + chunk planning
+        # 1. host-side preprocess + chunk planning.  Per-read error
+        # isolation: a failed read (bad data, injected chaos fault)
+        # only warns and the batch continues, mirroring the reference
+        # (ref src/scrappie_raw.c:397-400); exercised by the chaos
+        # fault-injection tests.
         prepped = []
         plans = []
         all_chunks = []
         for rs in signals:
-            rt = trim_and_segment_raw(rs, trim_start, trim_end, varseg_chunk, varseg_thresh)
-            if rt is None:
+            try:
+                rt = trim_and_segment_raw(rs, trim_start, trim_end,
+                                          varseg_chunk, varseg_thresh)
+                if rt is None:
+                    prepped.append(None)
+                    continue
+                norm = medmad_normalise(rt.trimmed)
+                plan = chunklib.plan_chunks(len(norm), self.chunk_len,
+                                            self.overlap, self.spec.stride)
+            except Exception as e:
+                from scrappie_tpu.utils.tracing import log
+
+                log("warn", "read preprocessing failed", uuid=rs.uuid,
+                    error=str(e))
                 prepped.append(None)
                 continue
-            norm = medmad_normalise(rt.trimmed)
-            plan = chunklib.plan_chunks(len(norm), self.chunk_len, self.overlap,
-                                        self.spec.stride)
             prepped.append((rt, norm, plan, len(all_chunks)))
             plans.append(plan)
             all_chunks.append(chunklib.extract_chunks(norm, plan))
@@ -163,8 +179,9 @@ class BasecallEngine:
             ]
 
         # 2. one batched device pass over every chunk of every read
-        flat = np.concatenate(all_chunks, axis=0)
-        post = self._posterior_chunks(flat)
+        with self.stage("posterior"):
+            flat = np.concatenate(all_chunks, axis=0)
+            post = self._posterior_chunks(flat)
 
         # 3. stitch per read
         logposts = []
@@ -179,14 +196,15 @@ class BasecallEngine:
 
         # 4. decode (bucketed batches)
         results_map: dict[int, ReadResult] = {}
-        if self.spec.kind == "rnnrf":
-            decoded = []
-            for lp in logposts:
-                score, path = decode_crf(lp)
-                decoded.append((score, path))
-        else:
-            decoded = self._decode_bucketed(logposts, stay_pen, skip_pen,
-                                            local_pen, use_slip)
+        with self.stage("decode"):
+            if self.spec.kind == "rnnrf":
+                decoded = []
+                for lp in logposts:
+                    score, path = decode_crf(lp)
+                    decoded.append((score, path))
+            else:
+                decoded = self._decode_bucketed(logposts, stay_pen, skip_pen,
+                                                local_pen, use_slip)
 
         # 5. host-side assembly
         out_iter = iter(zip(logposts, metas, decoded))
