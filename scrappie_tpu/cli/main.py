@@ -100,6 +100,9 @@ def build_parser():
     raw.add_argument("--overlap", type=int, default=1000,
                      help="Chunk overlap in samples")
     raw.add_argument("--batch", type=int, default=8, help="Device batch size")
+    raw.add_argument("--fast", action="store_true", default=False,
+                     help="Fused per-chunk decode + path stitching (TPU; "
+                          "skips homopolymer correction)")
     raw.add_argument("--profile", default=None, metavar="DIR",
                      help="Capture a JAX profiler (XPlane) trace to DIR")
     raw.add_argument("--stage-report", action="store_true", default=False,
@@ -182,7 +185,8 @@ def main_raw(args) -> int:
 
     engine = BasecallEngine(args.model, chunk_len=args.chunk_len, overlap=args.overlap,
                             batch_size=args.batch, min_prob=args.min_prob,
-                            tempW=args.temperature1, tempb=args.temperature2)
+                            tempW=args.temperature1, tempb=args.temperature2,
+                            mode="fast" if args.fast else "stitch")
     prof = profile(args.profile) if args.profile else contextlib.nullcontext()
     with prof:
         results = engine.basecall_files(

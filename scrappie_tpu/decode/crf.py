@@ -40,16 +40,69 @@ def _crf_viterbi(trans):
     return score, path
 
 
-def decode_crf(trans):
+@jax.jit
+def _crf_viterbi_assoc(trans):
+    """Parallel-in-time CRF Viterbi via max-plus matrix prefix products.
+
+    The 5-state transition matrices form a (max, +) semiring;
+    jax.lax.associative_scan composes them in O(log T) depth, so the
+    decode parallelises across the whole time axis instead of a
+    2000-step sequential scan — the associative-scan formulation from
+    SURVEY.md §7.  Scores can differ from the sequential scan by float
+    reassociation ulps; paths agree except on exact ties.
+    """
+    B, T, nsq = trans.shape
+    ns = int(round(np.sqrt(nsq)))
+    tmat = trans.reshape(B, T, ns, ns)  # [B, T, to, from]
+
+    def compose(a, b):
+        # (b after a)[to, from] = max_k b[to, k] + a[k, from]
+        return (b[..., :, :, None] + a[..., None, :, :]).max(-2)
+
+    prefix = jax.lax.associative_scan(compose, tmat, axis=1)
+    alpha = jnp.concatenate(
+        [jnp.zeros((B, 1, ns), trans.dtype), prefix.max(-1)], axis=1
+    )  # [B, T+1, to]; init is the zero vector, so alpha_t = max_from P_t
+
+    final = alpha[:, T]
+    score = final.max(-1)
+    last = final.argmax(-1).astype(jnp.int32)
+
+    # Per-step backpointers from the alphas, computed for all t at once.
+    bt = (tmat + alpha[:, :T, None, :]).argmax(-1).astype(jnp.int32)  # [B,T,to]
+
+    # Backtrace by suffix composition of the pointer maps:
+    # C_t = bt_t o bt_{t+1} o ... o bt_T, then path_{t-1} = C_t[last].
+    # NB: with reverse=True, associative_scan passes combine(later, earlier),
+    # so the composition is written operand-swapped.
+    def compose_maps(g, f):
+        return jnp.take_along_axis(f, g, axis=-1)
+
+    C = jax.lax.associative_scan(compose_maps, bt, axis=1, reverse=True)
+    idx = jnp.broadcast_to(last[:, None, None], (B, T, 1))
+    body = jnp.take_along_axis(C, idx, axis=-1)[..., 0]  # path_0 .. path_{T-1}
+    path = jnp.concatenate([body, last[:, None]], axis=1)
+    return score, path
+
+
+def decode_crf(trans, impl: str | None = None):
     """Viterbi decode of CRF transitions (ref decode_crf, src/decode.c:836-893).
 
     trans [T, ns^2] or [B, T, ns^2] -> (score, path [.., T+1] int32).
+    impl: 'scan' (sequential, reference semantics), 'assoc'
+    (parallel-in-time associative scan), or None = assoc on TPU.
     """
+    from scrappie_tpu import ops
+
     squeeze = trans.ndim == 2
     t = jnp.asarray(trans, dtype=jnp.float32)
     if squeeze:
         t = t[None]
-    score, path = _crf_viterbi(t)
+    if impl is None:
+        # assoc wins for small batches (the per-read decode case, ~4.6x
+        # at B=1); the sequential scan amortises better at large B.
+        impl = "assoc" if ops.on_tpu() and t.shape[0] <= 4 else "scan"
+    score, path = (_crf_viterbi_assoc if impl == "assoc" else _crf_viterbi)(t)
     if squeeze:
         return float(score[0]), np.asarray(path[0])
     return np.asarray(score), np.asarray(path)
@@ -82,17 +135,48 @@ def _crf_posterior(trans):
     return jnp.moveaxis(post, 0, 1)  # [B, T+1, ns]
 
 
-def posterior_crf(trans):
+@jax.jit
+def _crf_posterior_assoc(trans):
+    """Parallel-in-time forward-backward via (logsumexp, +) semiring
+    prefix/suffix matrix products (see _crf_viterbi_assoc)."""
+    B, T, nsq = trans.shape
+    ns = int(round(np.sqrt(nsq)))
+    tmat = trans.reshape(B, T, ns, ns)  # [B, T, to, from]
+
+    def compose(a, b):
+        return jax.nn.logsumexp(b[..., :, :, None] + a[..., None, :, :],
+                                axis=-2)
+
+    def compose_rev(b, a):
+        # reverse=True passes combine(later, earlier): swap back.
+        return jax.nn.logsumexp(b[..., :, :, None] + a[..., None, :, :],
+                                axis=-2)
+
+    zero = jnp.zeros((B, 1, ns), trans.dtype)
+    prefix = jax.lax.associative_scan(compose, tmat, axis=1)
+    fwd_all = jnp.concatenate(
+        [zero, jax.nn.logsumexp(prefix, axis=-1)], axis=1)      # [B, T+1, to]
+    suffix = jax.lax.associative_scan(compose_rev, tmat, axis=1, reverse=True)
+    bwd_all = jnp.concatenate(
+        [jax.nn.logsumexp(suffix, axis=-2), zero], axis=1)      # [B, T+1, from]
+    return jax.nn.softmax(fwd_all + bwd_all, axis=-1)
+
+
+def posterior_crf(trans, impl: str | None = None):
     """Forward-backward state posterior (ref posterior_crf, src/decode.c:928-1012).
 
     trans [T, ns^2] or [B, T, ns^2] -> probabilities [.., T+1, ns], one row
-    per block boundary.
+    per block boundary.  impl as in decode_crf.
     """
+    from scrappie_tpu import ops
+
     squeeze = trans.ndim == 2
     t = jnp.asarray(trans, dtype=jnp.float32)
     if squeeze:
         t = t[None]
-    post = _crf_posterior(t)
+    if impl is None:
+        impl = "assoc" if ops.on_tpu() else "scan"
+    post = (_crf_posterior_assoc if impl == "assoc" else _crf_posterior)(t)
     return np.asarray(post[0]) if squeeze else np.asarray(post)
 
 

@@ -74,12 +74,24 @@ def stitch_blocks(chunk_blocks: np.ndarray, plan: ChunkPlan) -> np.ndarray:
     of each inter-chunk overlap, so every global block is produced by the
     chunk whose receptive field is most centred on it.
     """
-    s = plan.stride
     total = plan.nblock_total
     out = np.zeros((total,) + chunk_blocks.shape[2:], dtype=chunk_blocks.dtype)
+    starts_blk = plan.starts // plan.stride
+    for i, (lo, hi) in enumerate(chunk_keep_ranges(plan)):
+        if hi <= lo:
+            continue
+        out[lo:hi] = chunk_blocks[i, lo - starts_blk[i] : hi - starts_blk[i]]
+    return out
+
+
+def chunk_keep_ranges(plan: ChunkPlan):
+    """Per-chunk kept global block ranges [(lo, hi)), midpoint boundaries —
+    the same geometry stitch_blocks uses."""
+    s = plan.stride
+    total = plan.nblock_total
     starts_blk = plan.starts // s
     nblk = plan.nblock_chunk
-
+    out = []
     for i in range(plan.nchunk):
         lo = 0 if i == 0 else (starts_blk[i] + (starts_blk[i - 1] + nblk - starts_blk[i]) // 2)
         hi = total if i == plan.nchunk - 1 else (
@@ -87,9 +99,29 @@ def stitch_blocks(chunk_blocks: np.ndarray, plan: ChunkPlan) -> np.ndarray:
         )
         lo = max(lo, starts_blk[i])
         hi = min(hi, starts_blk[i] + nblk, total)
+        out.append((int(lo), int(hi)))
+    return out
+
+
+def stitch_paths(chunk_paths: np.ndarray, plan: ChunkPlan) -> np.ndarray:
+    """Stitch per-chunk Viterbi paths [nchunk, nblock_chunk+1] into a
+    whole-read path [nblock_total+1].
+
+    Each chunk was decoded independently (fused chunk-level pipeline);
+    its per-block emissions path[1:] are kept over the chunk's interior
+    (midpoint boundaries, as stitch_blocks).  This is the bonito-style
+    decode-then-stitch mode: junction blocks can differ from the
+    whole-read posterior-stitch decode, interiors are identical.
+    """
+    total = plan.nblock_total
+    starts_blk = plan.starts // plan.stride
+    out = np.full((total + 1,), -1, dtype=chunk_paths.dtype)
+    out[0] = chunk_paths[0, 0]
+    for i, (lo, hi) in enumerate(chunk_keep_ranges(plan)):
         if hi <= lo:
             continue
-        out[lo:hi] = chunk_blocks[i, lo - starts_blk[i] : hi - starts_blk[i]]
+        emit = chunk_paths[i, 1:]
+        out[1 + lo : 1 + hi] = emit[lo - starts_blk[i] : hi - starts_blk[i]]
     return out
 
 

@@ -63,9 +63,30 @@ class BasecallEngine:
     def __init__(self, model: str = "rgrgr_r94", chunk_len: int = 10000,
                  overlap: int = 1000, batch_size: int = 8, mesh=None,
                  min_prob: float = 1e-5, tempW: float = 1.0, tempb: float = 1.0,
-                 decode_bucket: int = 1024):
+                 decode_bucket: int = 1024, mode: str = "stitch"):
+        """mode:
+          'stitch' — stitch chunk posteriors into whole-read matrices and
+            decode once per read (exact: chunked == unchunked basecall).
+          'fast'   — decode each chunk on device with the fused Pallas
+            pipeline (ops/pipeline.py; the posterior never reaches the
+            host) and stitch the Viterbi paths at overlap midpoints,
+            bonito-style.  Junction blocks may differ from 'stitch';
+            scores are per-chunk sums weighted by kept blocks.  rgrgr
+            models only; homopolymer correction unavailable (it needs
+            the whole-read posterior).
+        """
         self.model = model
         self.spec = RAW_MODELS[model]
+        if mode not in ("stitch", "fast"):
+            raise ValueError(f"unknown mode {mode!r}")
+        if mode == "fast" and RAW_MODELS[model].kind != "rgrgr":
+            from scrappie_tpu.utils.tracing import log
+
+            log("warn", "fast mode only supports rgrgr models; using stitch",
+                model=model)
+            mode = "stitch"
+        self.mode = mode
+        self._min_prob, self._tempW, self._tempb = min_prob, tempW, tempb
         stride = self.spec.stride
         self.chunk_len = _round_up(chunk_len, stride)
         self.overlap = _round_up(overlap, stride)
@@ -110,6 +131,31 @@ class BasecallEngine:
             outs.append(np.asarray(self._posterior(self.params, x)))
         out = np.concatenate(outs, axis=0)[:N]
         return out
+
+    def _decode_chunks_fused(self, all_chunks: np.ndarray, stay_pen, skip_pen,
+                             local_pen, use_slip):
+        """Fused per-chunk decode: [N, chunk_len] -> (scores [N],
+        paths [N, nblock_chunk+1]) without materialising posteriors."""
+        from scrappie_tpu.ops.pipeline import rgrgr_basecall_fused
+
+        N = all_chunks.shape[0]
+        B = self.batch_size
+        scores, paths = [], []
+        for i in range(0, N, B):
+            batch = all_chunks[i : i + B]
+            if len(batch) < B:
+                batch = np.concatenate(
+                    [batch, np.zeros((B - len(batch), self.chunk_len), np.float32)]
+                )
+            x = jax.device_put(batch[..., None], self._batch_sharding)
+            s, p = rgrgr_basecall_fused(
+                self.params, x, conv_activation=self.spec.conv_activation,
+                stride=self.spec.stride, min_prob=self._min_prob,
+                tempW=self._tempW, tempb=self._tempb, stay_pen=stay_pen,
+                skip_pen=skip_pen, local_pen=local_pen, use_slip=use_slip)
+            scores.append(np.asarray(s))
+            paths.append(np.asarray(p))
+        return (np.concatenate(scores)[:N], np.concatenate(paths)[:N])
 
     def _decode_bucketed(self, logposts: list[np.ndarray], stay_pen, skip_pen,
                          local_pen, use_slip):
@@ -177,6 +223,37 @@ class BasecallEngine:
                 ReadResult(rs.uuid, None, float("nan"), 0, None, 0, 0, rs.n)
                 for rs in signals
             ]
+
+        # Fast mode: fused per-chunk posterior+decode on device, then
+        # path-level stitching — the posterior never reaches the host.
+        if self.mode == "fast":
+            if homopolymer not in (None, "nochange", HomopolymerMode.NOCHANGE):
+                from scrappie_tpu.utils.tracing import log
+
+                log("warn", "fast mode cannot apply homopolymer correction "
+                            "(needs whole-read posteriors); skipping")
+            with self.stage("decode_fused"):
+                flat = np.concatenate(all_chunks, axis=0)
+                scores, paths = self._decode_chunks_fused(
+                    flat, stay_pen, skip_pen, local_pen, use_slip)
+            results = []
+            for entry, rs in zip(prepped, signals):
+                if entry is None:
+                    results.append(ReadResult(rs.uuid, None, float("nan"), 0,
+                                              None, 0, 0, rs.n))
+                    continue
+                rt, norm, plan, off = entry
+                path = chunklib.stitch_paths(paths[off : off + plan.nchunk], plan)
+                keep = chunklib.chunk_keep_ranges(plan)
+                score = float(sum(
+                    scores[off + i] * (hi - lo) / plan.nblock_chunk
+                    for i, (lo, hi) in enumerate(keep)))
+                nblock = plan.nblock_total
+                pos = np.zeros(nblock + 1, dtype=np.int64)
+                seq = overlapper(path, self.spec.nstate - 1, pos)
+                results.append(ReadResult(rt.uuid, seq, score, nblock, pos,
+                                          rt.start, rt.end, rt.n))
+            return results
 
         # 2. one batched device pass over every chunk of every read
         with self.stage("posterior"):

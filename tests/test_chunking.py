@@ -132,3 +132,35 @@ def test_engine_matches_single_read_api(reads_dir):
     )
     assert identity > 0.95, f"identity {identity}"
     assert abs(res.score - score_api) / abs(score_api) < 0.02
+
+
+def test_stitch_paths_midpoint_assembly():
+    """stitch_paths keeps each chunk's interior emissions (same geometry
+    as stitch_blocks) and the first chunk's initial state."""
+    from scrappie_tpu.parallel.chunk import (
+        chunk_keep_ranges,
+        plan_chunks,
+        stitch_paths,
+    )
+
+    plan = plan_chunks(nsample=100, chunk_len=40, overlap=20, stride=2)
+    nblk = plan.nblock_chunk
+    starts_blk = plan.starts // plan.stride
+    # chunk i emits value 1000*i + local block index
+    paths = np.stack([
+        np.concatenate([[-(i + 1)], 1000 * i + np.arange(nblk)])
+        for i in range(plan.nchunk)
+    ]).astype(np.int32)
+    out = stitch_paths(paths, plan)
+    assert out.shape == (plan.nblock_total + 1,)
+    assert out[0] == -1  # first chunk's initial state
+    for i, (lo, hi) in enumerate(chunk_keep_ranges(plan)):
+        got = out[1 + lo : 1 + hi]
+        want = 1000 * i + (np.arange(lo, hi) - starts_blk[i])
+        np.testing.assert_array_equal(got, want)
+    # every global block was produced by exactly one chunk
+    ranges = chunk_keep_ranges(plan)
+    covered = sorted((lo, hi) for lo, hi in ranges)
+    assert covered[0][0] == 0 and covered[-1][1] == plan.nblock_total
+    for (a, b), (c, d) in zip(covered, covered[1:]):
+        assert b == c

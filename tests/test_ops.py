@@ -141,6 +141,20 @@ def test_fused_pipeline_matches_two_stage():
                                rtol=1e-5, atol=1e-4)
 
 
+def test_crf_associative_scan_matches_sequential():
+    from scrappie_tpu.decode.crf import decode_crf, posterior_crf
+
+    rng = np.random.default_rng(11)
+    trans = rng.standard_normal((3, 40, 25)).astype(np.float32)
+    s_ref, p_ref = decode_crf(trans, impl="scan")
+    s, p = decode_crf(trans, impl="assoc")
+    np.testing.assert_allclose(s, s_ref, rtol=1e-5)
+    np.testing.assert_array_equal(p, p_ref)
+    post_ref = posterior_crf(trans, impl="scan")
+    post = posterior_crf(trans, impl="assoc")
+    np.testing.assert_allclose(post, post_ref, rtol=1e-4, atol=1e-6)
+
+
 def test_decode_transducer_dispatch_pallas():
     # Force the Pallas dispatch path end-to-end (interpret on CPU).
     from scrappie_tpu.decode.transducer import decode_transducer
