@@ -111,7 +111,14 @@ def rnnrf_transitions(params, sig, *, conv_activation="elu", stride=2,
 def raw_posterior(params, sig, *, stride=4, min_prob=1e-5,
                   tempW=1.0, tempb=1.0, return_log=True):
     """raw_r94: conv+tanh -> 2x (biGRU + FF2-tanh) -> softmax_temp
-    (ref src/networks.c:196-247)."""
+    (ref src/networks.c:196-247).  Dispatches to the Pallas GRU kernels
+    on TPU (see rgrgr_posterior)."""
+    from scrappie_tpu import ops
+
+    if ops.pallas_enabled():
+        lp = raw_posterior_tm(params, sig, stride=stride, min_prob=min_prob,
+                              tempW=tempW, tempb=tempb, return_log=return_log)
+        return jnp.moveaxis(lp, 0, 1)
     x = jnp.tanh(conv1d(sig, params["conv_W"], params["conv_b"], int(stride)))
     for layer in (1, 2):
         xf = feedforward(x, params[f"gruF{layer}_iW"], params[f"gruF{layer}_b"])
@@ -124,10 +131,58 @@ def raw_posterior(params, sig, *, stride=4, min_prob=1e-5,
     return robustlog(post, min_prob) if return_log else post
 
 
+def _pad_rows(W, rows):
+    return jnp.pad(W, ((0, rows - W.shape[0]), (0, 0)))
+
+
+def _ff2_tanh_padded(hf, hb, Wf, Wb, b):
+    """feedforward2_tanh on lane-padded hidden features, producing
+    lane-padded output (pad columns are zero => tanh(0) = 0)."""
+    Sp = hf.shape[-1]
+    Wfp = jnp.pad(Wf, ((0, Sp - Wf.shape[0]), (0, Sp - Wf.shape[1])))
+    Wbp = jnp.pad(Wb, ((0, Sp - Wb.shape[0]), (0, Sp - Wb.shape[1])))
+    bp = jnp.pad(b, (0, Sp - b.shape[0]))
+    return feedforward2_tanh(hf, hb, Wfp, Wbp, bp)
+
+
+def raw_posterior_tm(params, sig, *, stride=4, min_prob=1e-5,
+                     tempW=1.0, tempb=1.0, return_log=True):
+    """Time-major Pallas variant of raw_posterior: [nblock, B, nstate]."""
+    from scrappie_tpu.ops.gru import gru_layer_tm
+
+    B = sig.shape[0]
+    pad = (-B) % 8
+    if pad:
+        sig = jnp.pad(sig, ((0, pad), (0, 0), (0, 0)))
+    x = jnp.tanh(conv1d(sig, params["conv_W"], params["conv_b"], int(stride)))
+    x = jnp.moveaxis(x, 0, 1)
+    for layer in (1, 2):
+        hf = gru_layer_tm(x, params[f"gruF{layer}_iW"], params[f"gruF{layer}_b"],
+                          params[f"gruF{layer}_sW"], params[f"gruF{layer}_sW2"])
+        hb = gru_layer_tm(x, params[f"gruB{layer}_iW"], params[f"gruB{layer}_b"],
+                          params[f"gruB{layer}_sW"], params[f"gruB{layer}_sW2"],
+                          reverse=True)
+        x = _ff2_tanh_padded(hf, hb, params[f"FF{layer}_Wf"],
+                             params[f"FF{layer}_Wb"], params[f"FF{layer}_b"])
+    post = softmax_with_temperature(x, _pad_rows(params["FF3_W"], x.shape[-1]),
+                                    params["FF3_b"], tempW, tempb)
+    if pad:
+        post = post[:, :B]
+    return robustlog(post, min_prob) if return_log else post
+
+
 def events_posterior(params, feats, *, winlen=3, min_prob=1e-5,
                      tempW=1.0, tempb=1.0, return_log=True):
     """nanonet events net: window(3) -> 2x (biLSTM + FF2-tanh) -> softmax_temp
-    (ref src/networks.c:146-194).  feats [B, nevent, 4]."""
+    (ref src/networks.c:146-194).  feats [B, nevent, 4].  Dispatches to
+    the Pallas LSTM kernels on TPU."""
+    from scrappie_tpu import ops
+
+    if ops.pallas_enabled():
+        lp = events_posterior_tm(params, feats, winlen=winlen,
+                                 min_prob=min_prob, tempW=tempW, tempb=tempb,
+                                 return_log=return_log)
+        return jnp.moveaxis(lp, 0, 1)
     x = window(feats, winlen, 1)
     for layer in (1, 2):
         xf = feedforward(x, params[f"lstmF{layer}_iW"], params[f"lstmF{layer}_b"])
@@ -137,6 +192,31 @@ def events_posterior(params, feats, *, winlen=3, min_prob=1e-5,
         x = feedforward2_tanh(hf, hb, params[f"FF{layer}_Wf"],
                               params[f"FF{layer}_Wb"], params[f"FF{layer}_b"])
     post = softmax_with_temperature(x, params["FF3_W"], params["FF3_b"], tempW, tempb)
+    return robustlog(post, min_prob) if return_log else post
+
+
+def events_posterior_tm(params, feats, *, winlen=3, min_prob=1e-5,
+                        tempW=1.0, tempb=1.0, return_log=True):
+    """Time-major Pallas variant of events_posterior: [nevent, B, nstate]."""
+    from scrappie_tpu.ops.lstm import lstm_layer_tm
+
+    B = feats.shape[0]
+    pad = (-B) % 8
+    if pad:
+        feats = jnp.pad(feats, ((0, pad), (0, 0), (0, 0)))
+    x = jnp.moveaxis(window(feats, winlen, 1), 0, 1)  # [T, B, winlen*4]
+    for layer in (1, 2):
+        hf = lstm_layer_tm(x, params[f"lstmF{layer}_iW"], params[f"lstmF{layer}_b"],
+                           params[f"lstmF{layer}_sW"], params[f"lstmF{layer}_p"])
+        hb = lstm_layer_tm(x, params[f"lstmB{layer}_iW"], params[f"lstmB{layer}_b"],
+                           params[f"lstmB{layer}_sW"], params[f"lstmB{layer}_p"],
+                           reverse=True)
+        x = _ff2_tanh_padded(hf, hb, params[f"FF{layer}_Wf"],
+                             params[f"FF{layer}_Wb"], params[f"FF{layer}_b"])
+    post = softmax_with_temperature(x, _pad_rows(params["FF3_W"], x.shape[-1]),
+                                    params["FF3_b"], tempW, tempb)
+    if pad:
+        post = post[:, :B]
     return robustlog(post, min_prob) if return_log else post
 
 

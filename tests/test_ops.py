@@ -141,6 +141,33 @@ def test_fused_pipeline_matches_two_stage():
                                rtol=1e-5, atol=1e-4)
 
 
+def test_raw_posterior_tm_matches_batchmajor():
+    from scrappie_tpu.models import forward, registry
+    from scrappie_tpu.models.specs import RAW_MODELS
+
+    spec = RAW_MODELS["raw_r94"]
+    params = {k: jnp.asarray(v) for k, v in registry.load_params("raw_r94").items()}
+    rng = np.random.default_rng(8)
+    sig = jnp.asarray(rng.standard_normal((2, 48, 1)).astype(np.float32))
+    ref = forward.raw_posterior(params, sig, stride=spec.stride)
+    tm = forward.raw_posterior_tm(params, sig, stride=spec.stride)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(tm), 0, 1),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_events_posterior_tm_matches_batchmajor():
+    from scrappie_tpu.models import forward, registry
+
+    params = {k: jnp.asarray(v)
+              for k, v in registry.load_params("nanonet_events").items()}
+    rng = np.random.default_rng(9)
+    feats = jnp.asarray(rng.standard_normal((2, 11, 4)).astype(np.float32))
+    ref = forward.events_posterior(params, feats)
+    tm = forward.events_posterior_tm(params, feats)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(tm), 0, 1),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
 def test_crf_associative_scan_matches_sequential():
     from scrappie_tpu.decode.crf import decode_crf, posterior_crf
 
