@@ -164,3 +164,21 @@ def test_stitch_paths_midpoint_assembly():
     assert covered[0][0] == 0 and covered[-1][1] == plan.nblock_total
     for (a, b), (c, d) in zip(covered, covered[1:]):
         assert b == c
+
+
+def test_launcher_single_process_virtual_mesh(reads_dir, tmp_path):
+    """Launcher plumbing: file sharding + global-mesh engine on the
+    8-device virtual CPU mesh, single process."""
+    from scrappie_tpu.parallel.launcher import run, shard_files
+
+    files = sorted(str(p) for p in reads_dir.glob("*.fast5"))
+    assert shard_files(files, 0, 2) + shard_files(files, 1, 2) != []
+    assert sorted(shard_files(files, 0, 2) + shard_files(files, 1, 2)) == files
+
+    out = tmp_path / "calls.fa"
+    rc = run(["--model", "rgrgr_r94", "--chunk-len", "2000", "--overlap", "500",
+              "--batch-per-device", "1", "--limit", "1", "-o", str(out),
+              str(reads_dir)])
+    assert rc == 0
+    text = out.read_text()
+    assert text.startswith(">") and len(text.splitlines()[1]) > 100
