@@ -62,3 +62,38 @@ def pallas(value: bool | None):
 def interpret_mode() -> bool:
     """Pallas interpret=True is needed off-TPU (tests on CPU)."""
     return not on_tpu()
+
+
+def kernel_precision():
+    """Matmul precision for in-kernel dots, from the global policy.
+
+    Mosaic supports only DEFAULT (one bf16 pass) and HIGHEST (six); the
+    global HIGH maps to DEFAULT inside kernels.  Exactness-critical
+    matmuls (the Viterbi one-hot expansions) ignore this and stay exact.
+    """
+    import jax
+
+    from scrappie_tpu.nn.config import get_precision
+
+    if get_precision() == jax.lax.Precision.HIGHEST:
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
+def kernel_precision_name() -> str:
+    """'highest' or 'default' — pass through jit boundaries as a static
+    argument so changing the global policy retraces (a global read at
+    trace time would be frozen into the jit cache)."""
+    import jax
+
+    return ("highest" if kernel_precision() == jax.lax.Precision.HIGHEST
+            else "default")
+
+
+def resolve_precision(prec_name):
+    import jax
+
+    if prec_name is None:
+        prec_name = kernel_precision_name()
+    return (jax.lax.Precision.HIGHEST if prec_name == "highest"
+            else jax.lax.Precision.DEFAULT)

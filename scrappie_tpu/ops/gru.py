@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from scrappie_tpu.ops import interpret_mode
+from scrappie_tpu.ops import resolve_precision as _resolve_precision
 
 LANE = 128
 
@@ -66,7 +67,8 @@ def pad_gru_params(iW, b, sW, sW2, in_pad: int | None = None):
     return iWp, bp, sWp, sW2p
 
 
-def _gru_kernel(x_ref, sW_ref, sW2_ref, y_ref, h_ref, *, S, CT, reverse):
+def _gru_kernel(x_ref, sW_ref, sW2_ref, y_ref, h_ref, *, S, CT, reverse,
+                prec=None):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -80,14 +82,14 @@ def _gru_kernel(x_ref, sW_ref, sW2_ref, y_ref, h_ref, *, S, CT, reverse):
     for i in steps:  # static unroll: CT sequential steps per grid step
         xt = x_ref[i]
         rec = jnp.dot(h, sW, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=prec or jax.lax.Precision.HIGHEST)
         zr = jax.nn.sigmoid(xt[:, : 2 * S] + rec)
         z = zr[:, :S]
         r = zr[:, S:]
         hbar = jnp.tanh(xt[:, 2 * S :]
                         + jnp.dot(r * h, sW2,
                                   preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.HIGHEST))
+                                  precision=prec or jax.lax.Precision.HIGHEST))
         h = z * h + (1 - z) * hbar
         y_ref[i] = h
     h_ref[:] = h
@@ -100,9 +102,11 @@ def _pick_batch_tile(B: int, limit: int = 256) -> int:
     return max(bt, 8)
 
 
-@functools.partial(jax.jit, static_argnames=("reverse", "interpret", "ct"))
+@functools.partial(jax.jit,
+                   static_argnames=("reverse", "interpret", "ct", "prec_name"))
 def gru_tm_padded(x_tm, sWp, sW2p, reverse: bool = False,
-                  interpret: bool | None = None, ct: int = 8):
+                  interpret: bool | None = None, ct: int = 8,
+                  prec_name: str | None = None):
     """GRU scan over padded time-major inputs.
 
     x_tm [T, B, 3Sp] (precomputed iWp.x + bp, lane-padded gate blocks),
@@ -135,7 +139,8 @@ def gru_tm_padded(x_tm, sWp, sW2p, reverse: bool = False,
     else:
         tidx = lambda b, t: (t, b, 0)
     y = pl.pallas_call(
-        functools.partial(_gru_kernel, S=Sp, CT=CT, reverse=reverse),
+        functools.partial(_gru_kernel, S=Sp, CT=CT, reverse=reverse,
+                          prec=_resolve_precision(prec_name)),
         grid=(nbt, nt),
         in_specs=[
             pl.BlockSpec((CT, Bt, 3 * Sp), tidx, memory_space=pltpu.VMEM),
@@ -153,7 +158,7 @@ def gru_tm_padded(x_tm, sWp, sW2p, reverse: bool = False,
 
 
 def _gru_fused_kernel(x_ref, iW_ref, b_ref, sW_ref, sW2_ref, y_ref, h_ref,
-                      *, S, CT, reverse):
+                      *, S, CT, reverse, prec=None):
     """GRU layer with the input projection fused into the scan: per step
     xin = x@iW + b runs on the MXU against the VMEM-resident weights,
     so the [T, B, 3S] projected activations never touch HBM (3x less
@@ -174,28 +179,30 @@ def _gru_fused_kernel(x_ref, iW_ref, b_ref, sW_ref, sW2_ref, y_ref, h_ref,
     CTB = x_ref.shape[0] * x_ref.shape[1]
     xproj = jnp.dot(x_ref[:].reshape(CTB, x_ref.shape[2]), iW_ref[:],
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=prec or jax.lax.Precision.HIGHEST)
     xproj = xproj.reshape(x_ref.shape[0], x_ref.shape[1], 3 * S)
     steps = range(CT - 1, -1, -1) if reverse else range(CT)
     for i in steps:
         xt = xproj[i] + bb
         rec = jnp.dot(h, sW, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=prec or jax.lax.Precision.HIGHEST)
         zr = jax.nn.sigmoid(xt[:, : 2 * S] + rec)
         z = zr[:, :S]
         r = zr[:, S:]
         hbar = jnp.tanh(xt[:, 2 * S :]
                         + jnp.dot(r * h, sW2,
                                   preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.HIGHEST))
+                                  precision=prec or jax.lax.Precision.HIGHEST))
         h = z * h + (1 - z) * hbar
         y_ref[i] = h
     h_ref[:] = h
 
 
-@functools.partial(jax.jit, static_argnames=("reverse", "interpret", "ct"))
+@functools.partial(jax.jit,
+                   static_argnames=("reverse", "interpret", "ct", "prec_name"))
 def gru_layer_fused_tm(x_tm, iWp, bp, sWp, sW2p, reverse: bool = False,
-                       interpret: bool | None = None, ct: int = 8):
+                       interpret: bool | None = None, ct: int = 8,
+                       prec_name: str | None = None):
     """Fused GRU layer on lane-padded time-major features.
 
     x_tm [T, B, C] (C a multiple of 128, pad lanes zero), iWp [C, 3Sp],
@@ -230,7 +237,8 @@ def gru_layer_fused_tm(x_tm, iWp, bp, sWp, sW2p, reverse: bool = False,
         tidx = lambda b, t: (t, b, 0)
     cidx = lambda b, t: (0, 0)
     y = pl.pallas_call(
-        functools.partial(_gru_fused_kernel, S=Sp, CT=CT, reverse=reverse),
+        functools.partial(_gru_fused_kernel, S=Sp, CT=CT, reverse=reverse,
+                          prec=_resolve_precision(prec_name)),
         grid=(nbt, nt),
         in_specs=[
             pl.BlockSpec((CT, Bt, C), tidx, memory_space=pltpu.VMEM),
@@ -261,4 +269,7 @@ def gru_layer_tm(x_tm, iW, b, sW, sW2, reverse: bool = False):
     if Cp != C:
         x_tm = jnp.pad(x_tm, ((0, 0), (0, 0), (0, Cp - C)))
     iWp, bp, sWp, sW2p = pad_gru_params(iW, b, sW, sW2, in_pad=Cp)
-    return gru_layer_fused_tm(x_tm, iWp, bp, sWp, sW2p, reverse=reverse)
+    from scrappie_tpu.ops import kernel_precision_name
+
+    return gru_layer_fused_tm(x_tm, iWp, bp, sWp, sW2p, reverse=reverse,
+                              prec_name=kernel_precision_name())

@@ -23,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from scrappie_tpu.ops import interpret_mode
+from scrappie_tpu.ops import resolve_precision as _resolve_precision
 from scrappie_tpu.ops.gru import LANE, _pick_batch_tile, _round_up
 
 
@@ -50,7 +51,7 @@ def pad_lstm_params(iW, b, sW, peep, in_pad: int | None = None):
 
 
 def _lstm_kernel(x_ref, iW_ref, b_ref, sW_ref, pin_ref, pforget_ref,
-                 pout_ref, y_ref, h_ref, c_ref, *, S, CT, reverse):
+                 pout_ref, y_ref, h_ref, c_ref, *, S, CT, reverse, prec=None):
     # The peephole vector is passed as three separate (1, Sp) inputs:
     # Mosaic cannot broadcast a lane-slice of a (1, 3Sp) vector.
     t = pl.program_id(1)
@@ -71,14 +72,14 @@ def _lstm_kernel(x_ref, iW_ref, b_ref, sW_ref, pin_ref, pforget_ref,
     CTB = x_ref.shape[0] * x_ref.shape[1]
     xproj = jnp.dot(x_ref[:].reshape(CTB, x_ref.shape[2]), iW_ref[:],
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=prec or jax.lax.Precision.HIGHEST)
     xproj = xproj.reshape(x_ref.shape[0], x_ref.shape[1], 4 * S)
 
     steps = range(CT - 1, -1, -1) if reverse else range(CT)
     for i in steps:
         xF = xproj[i] + bb + jnp.dot(h, sW,
                                      preferred_element_type=jnp.float32,
-                                     precision=jax.lax.Precision.HIGHEST)
+                                     precision=prec or jax.lax.Precision.HIGHEST)
         forget = jax.nn.sigmoid(xF[:, 2 * S : 3 * S] + c * p_forget) * c
         update = jax.nn.sigmoid(xF[:, S : 2 * S] + c * p_in) * jnp.tanh(
             xF[:, :S])
@@ -89,9 +90,11 @@ def _lstm_kernel(x_ref, iW_ref, b_ref, sW_ref, pin_ref, pforget_ref,
     c_ref[:] = c
 
 
-@functools.partial(jax.jit, static_argnames=("reverse", "interpret", "ct"))
+@functools.partial(jax.jit,
+                   static_argnames=("reverse", "interpret", "ct", "prec_name"))
 def lstm_layer_fused_tm(x_tm, iWp, bp, sWp, peepp, reverse: bool = False,
-                        interpret: bool | None = None, ct: int = 8):
+                        interpret: bool | None = None, ct: int = 8,
+                        prec_name: str | None = None):
     """Fused peephole-LSTM layer on lane-padded time-major features.
 
     x_tm [T, B, C] (C a multiple of 128, pad lanes zero), iWp [C, 4Sp],
@@ -124,7 +127,8 @@ def lstm_layer_fused_tm(x_tm, iWp, bp, sWp, peepp, reverse: bool = False,
         tidx = lambda b, t: (t, b, 0)
     cidx = lambda b, t: (0, 0)
     y = pl.pallas_call(
-        functools.partial(_lstm_kernel, S=Sp, CT=CT, reverse=reverse),
+        functools.partial(_lstm_kernel, S=Sp, CT=CT, reverse=reverse,
+                          prec=_resolve_precision(prec_name)),
         grid=(nbt, nt),
         in_specs=[
             pl.BlockSpec((CT, Bt, C), tidx, memory_space=pltpu.VMEM),
@@ -156,4 +160,7 @@ def lstm_layer_tm(x_tm, iW, b, sW, peep, reverse: bool = False):
     if Cp != C:
         x_tm = jnp.pad(x_tm, ((0, 0), (0, 0), (0, Cp - C)))
     iWp, bp, sWp, peepp = pad_lstm_params(iW, b, sW, peep, in_pad=Cp)
-    return lstm_layer_fused_tm(x_tm, iWp, bp, sWp, peepp, reverse=reverse)
+    from scrappie_tpu.ops import kernel_precision_name
+
+    return lstm_layer_fused_tm(x_tm, iWp, bp, sWp, peepp, reverse=reverse,
+                               prec_name=kernel_precision_name())

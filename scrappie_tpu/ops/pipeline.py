@@ -31,18 +31,29 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("conv_activation", "stride",
-                                             "use_slip"))
-def rgrgr_basecall_fused(params, sig, *, conv_activation: str = "elu",
-                         stride: int = 5, min_prob=1e-5, tempW=1.0,
-                         tempb=1.0, stay_pen=0.0, skip_pen=0.0,
-                         local_pen=2.0, use_slip: bool = False):
+def rgrgr_basecall_fused(params, sig, **kwargs):
     """sig [B, T, 1] -> (logscore [B], path [B, nblock+1] int32).
 
     Matches rgrgr_posterior + decode_transducer (ref calculate_post,
     src/scrappie_raw.c:265-314) with Viterbi paths identical to the
-    lax.scan reference programs.
+    lax.scan reference programs at the default HIGHEST precision.
+    nn.config.set_precision('default') opts kernels into single-pass
+    bf16 matmuls: ~1.8x faster, sequences diverge ~0.4% (resolved here,
+    outside the jit boundary, so the policy change retraces).
     """
+    from scrappie_tpu.ops import kernel_precision_name
+
+    kwargs.setdefault("prec_name", kernel_precision_name())
+    return _rgrgr_basecall_fused(params, sig, **kwargs)
+
+
+@functools.partial(jax.jit, static_argnames=("conv_activation", "stride",
+                                             "use_slip", "prec_name"))
+def _rgrgr_basecall_fused(params, sig, *, conv_activation: str = "elu",
+                          stride: int = 5, min_prob=1e-5, tempW=1.0,
+                          tempb=1.0, stay_pen=0.0, skip_pen=0.0,
+                          local_pen=2.0, use_slip: bool = False,
+                          prec_name: str | None = None):
     B = sig.shape[0]
     pad = (-B) % 8
     if pad:
@@ -63,11 +74,13 @@ def rgrgr_basecall_fused(params, sig, *, conv_activation: str = "elu",
         iWp, bgp, sWp, sW2p = pad_gru_params(
             params[f"{pre}_iW"], params[f"{pre}_b"], params[f"{pre}_sW"],
             params[f"{pre}_sW2"], in_pad=x.shape[-1])
-        x = gru_layer_fused_tm(x, iWp, bgp, sWp, sW2p, reverse=(d == "b"))
+        x = gru_layer_fused_tm(x, iWp, bgp, sWp, sW2p, reverse=(d == "b"),
+                               prec_name=prec_name)
 
+    ct = next(c for c in (4, 2, 1) if x.shape[0] % c == 0)
     final, tb = viterbi_fused_tm(
         x, params["FF_W"], params["FF_b"], min_prob=min_prob, tempW=tempW,
         tempb=tempb, stay_pen=stay_pen, skip_pen=skip_pen,
-        local_pen=local_pen, use_slip=use_slip)
+        local_pen=local_pen, use_slip=use_slip, ct=ct, prec_name=prec_name)
     score, path = viterbi_backtrace_tm(final, tb)
     return score[:B], path[:B]

@@ -373,7 +373,7 @@ def viterbi_backtrace_tm(final, tb_tm, interpret: bool | None = None,
 def _fused_kernel(stay_ref, skip_ref, local_ref, tw_ref, tb_temp_ref,
                   c0_ref, c1_ref, h_ref, W_ref, bvec_ref, e4_ref, e16_ref,
                   e64_ref, fhist_ref, floc_ref, tbh_ref, tbl_ref,
-                  hist_ref, loc_ref, *, nhist, use_slip, CT):
+                  hist_ref, loc_ref, *, nhist, use_slip, CT, prec=None):
     """Posterior head fused into the Viterbi scan: per step the hidden
     block h [Bt, Sp] goes through the output projection + temperature
     softmax (ref softmax_with_temperature, src/layers.c:333-357) +
@@ -399,7 +399,7 @@ def _fused_kernel(stay_ref, skip_ref, local_ref, tw_ref, tb_temp_ref,
         # reference computes it; bias pad lanes are -BIG => prob 0.
         y = jnp.dot(h_ref[i] * (tempb / tempW), W,
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=prec or jax.lax.Precision.HIGHEST)
         y = (y + bvec) / tempb
         m = jnp.max(y, axis=1, keepdims=True)
         e = jnp.exp(y - m)
@@ -416,11 +416,13 @@ def _fused_kernel(stay_ref, skip_ref, local_ref, tw_ref, tb_temp_ref,
         floc_ref[:] = loc_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("use_slip", "interpret", "ct"))
+@functools.partial(jax.jit, static_argnames=("use_slip", "interpret", "ct",
+                                              "prec_name"))
 def viterbi_fused_tm(h_tm, W, bvec, nstate: int | None = None, min_prob=1e-5,
                      tempW=1.0, tempb=1.0, stay_pen=0.0, skip_pen=0.0,
                      local_pen=2.0, use_slip: bool = False,
-                     interpret: bool | None = None, ct: int = 1):
+                     interpret: bool | None = None, ct: int = 1,
+                     prec_name: str | None = None):
     """Fused output-projection + softmax + robustlog + Viterbi forward.
 
     h_tm [T, B, Sp] lane-padded hidden features (time-major), W
@@ -460,8 +462,10 @@ def viterbi_fused_tm(h_tm, W, bvec, nstate: int | None = None, min_prob=1e-5,
         raise ValueError("T must be a multiple of ct")
     nt = T // CT
 
+    from scrappie_tpu.ops import resolve_precision
+
     kern = functools.partial(_fused_kernel, nhist=nhist, use_slip=use_slip,
-                             CT=CT)
+                             CT=CT, prec=resolve_precision(prec_name))
     scal = lambda v: jnp.asarray(v, jnp.float32).reshape(1, 1)
     smem = lambda: pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                                 memory_space=pltpu.SMEM)
