@@ -164,8 +164,8 @@ def squiggle_match_viterbi(signal, params, rate=1.0, prob_back=0.0,
     logscales = jnp.asarray(params[:, 1])
     scales = jnp.exp(logscales)
 
-    final, tbs = _squiggle_match(
-        signal, locs, scales, logscales, jnp.asarray(move_pen), jnp.asarray(stay_pen),
+    final, tbs = _dispatch_match(
+        signal, locs, scales, logscales, move_pen, stay_pen,
         pb, float(local_pen), float(skip_pen), float(minscore), True,
     )
     final = np.asarray(final)
@@ -205,10 +205,32 @@ def squiggle_match_forward(signal, params, rate=1.0, prob_back=0.0,
         move_pen, stay_pen = _penalties(params, rate, max(float(prob_back), 0.0))
     locs = jnp.asarray(params[:, 0])
     logscales = jnp.asarray(params[:, 1])
-    final, _ = _squiggle_match(
+    final, _ = _dispatch_match(
         signal, locs, jnp.exp(logscales), logscales,
-        jnp.asarray(move_pen), jnp.asarray(stay_pen),
+        move_pen, stay_pen,
         float(prob_back), float(local_pen), float(skip_pen), float(minscore), False,
     )
     final = np.asarray(final)
     return float(np.logaddexp(final[nfstate - 2], final[nfstate - 1]))
+
+
+def _dispatch_match(signal, locs, scales, logscales, move_pen, stay_pen,
+                    prob_back, local_pen, skip_pen, minscore, viterbi):
+    """Pallas kernel on TPU (ops/dtw.py), lax.scan otherwise."""
+    from scrappie_tpu import ops
+
+    if ops.pallas_enabled():
+        from scrappie_tpu.ops.dtw import squiggle_match_tm
+
+        return squiggle_match_tm(
+            jnp.asarray(signal, jnp.float32), jnp.asarray(locs),
+            jnp.asarray(scales), jnp.asarray(logscales),
+            jnp.asarray(move_pen), jnp.asarray(stay_pen),
+            float(prob_back), float(local_pen), float(skip_pen),
+            float(minscore), viterbi=viterbi)
+    return _squiggle_match(
+        jnp.asarray(signal, jnp.float32), jnp.asarray(locs),
+        jnp.asarray(scales), jnp.asarray(logscales),
+        jnp.asarray(move_pen), jnp.asarray(stay_pen),
+        prob_back, float(local_pen), float(skip_pen), float(minscore),
+        viterbi)

@@ -168,6 +168,52 @@ def test_events_posterior_tm_matches_batchmajor():
                                np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("viterbi", [True, False])
+def test_dtw_kernel_matches_scan(viterbi):
+    from scrappie_tpu.decode.dtw import _penalties, _squiggle_match
+    from scrappie_tpu.ops.dtw import squiggle_match_tm
+
+    rng = np.random.default_rng(12)
+    npos, T = 20, 37
+    params = np.stack([
+        rng.standard_normal(npos).astype(np.float32),
+        (-0.5 + 0.1 * rng.standard_normal(npos)).astype(np.float32),
+        (0.2 * rng.standard_normal(npos)).astype(np.float32),
+    ], axis=1)
+    sig = rng.standard_normal(T).astype(np.float32)
+    move_pen, stay_pen = _penalties(params, 1.0, 0.1)
+    args = (jnp.asarray(sig), jnp.asarray(params[:, 0]),
+            jnp.exp(jnp.asarray(params[:, 1])), jnp.asarray(params[:, 1]),
+            jnp.asarray(move_pen), jnp.asarray(stay_pen),
+            0.1, 2.0, 0.5, 5.0)
+    final_ref, tb_ref = _squiggle_match(*args, viterbi)
+    final, tb = squiggle_match_tm(*args, viterbi=viterbi, interpret=True)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(final_ref),
+                               rtol=1e-5, atol=1e-4)
+    if viterbi:
+        np.testing.assert_array_equal(np.asarray(tb), np.asarray(tb_ref))
+
+
+def test_dtw_dispatch_full_viterbi():
+    from scrappie_tpu import ops
+    from scrappie_tpu.decode.dtw import squiggle_match_viterbi
+
+    rng = np.random.default_rng(13)
+    npos, T = 15, 40
+    params = np.stack([
+        rng.standard_normal(npos).astype(np.float32),
+        (-0.5 + 0.1 * rng.standard_normal(npos)).astype(np.float32),
+        (0.2 * rng.standard_normal(npos)).astype(np.float32),
+    ], axis=1)
+    sig = rng.standard_normal(T).astype(np.float32)
+    with ops.pallas(False):
+        s_ref, p_ref = squiggle_match_viterbi(sig, params, prob_back=0.1)
+    with ops.pallas(True):
+        s, p = squiggle_match_viterbi(sig, params, prob_back=0.1)
+    assert abs(s - s_ref) < 1e-3
+    np.testing.assert_array_equal(p, p_ref)
+
+
 def test_crf_associative_scan_matches_sequential():
     from scrappie_tpu.decode.crf import decode_crf, posterior_crf
 
