@@ -113,6 +113,20 @@ def _map_dense(logpost, seqstates, stay_pen, skip_pen, local_pen,
     return final, tbs
 
 
+def _dense_dispatch(lp, seqstates, stay_pen, skip_pen, local_pen,
+                    viterbi, want_path=True):
+    """Pallas kernel on TPU (ops/seqmap.py), lax.scan otherwise."""
+    from scrappie_tpu import ops
+
+    if ops.pallas_enabled():
+        from scrappie_tpu.ops.seqmap import map_to_sequence_tm
+
+        return map_to_sequence_tm(lp, seqstates, stay_pen, skip_pen,
+                                  local_pen, viterbi=viterbi)
+    return _map_dense(lp, seqstates, stay_pen, skip_pen, local_pen,
+                      viterbi, want_path)
+
+
 def map_to_sequence_viterbi(logpost, seq, stay_pen=0.0, skip_pen=0.0,
                             local_pen=4.0, want_path: bool = False):
     """Viterbi map of posterior to sequence (ref src/decode.c:1420-1531).
@@ -123,8 +137,9 @@ def map_to_sequence_viterbi(logpost, seq, stay_pen=0.0, skip_pen=0.0,
     lp = jnp.asarray(logpost, dtype=jnp.float32)
     seqstates = jnp.asarray(seq, dtype=jnp.int32)
     seqlen = int(seqstates.shape[0])
-    final, tbs = _map_dense(lp, seqstates, float(stay_pen), float(skip_pen),
-                            float(local_pen), True, want_path)
+    final, tbs = _dense_dispatch(lp, seqstates, float(stay_pen),
+                                 float(skip_pen), float(local_pen), True,
+                                 want_path)
     final = np.asarray(final)
     END = seqlen + 1
     score = float(max(final[seqlen - 1], final[END]))
@@ -145,7 +160,7 @@ def map_to_sequence_forward(logpost, seq, stay_pen=0.0, skip_pen=0.0, local_pen=
     lp = jnp.asarray(logpost, dtype=jnp.float32)
     seqstates = jnp.asarray(seq, dtype=jnp.int32)
     seqlen = int(seqstates.shape[0])
-    final, _ = _map_dense(lp, seqstates, float(stay_pen), float(skip_pen),
+    final, _ = _dense_dispatch(lp, seqstates, float(stay_pen), float(skip_pen),
                           float(local_pen), False, False)
     final = np.asarray(final)
     return float(np.logaddexp(final[seqlen - 1], final[seqlen + 1]))

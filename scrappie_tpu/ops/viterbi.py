@@ -59,7 +59,8 @@ def _expand(m, E):
     partial sums recombine exactly (disjoint bit ranges).  This is 2x
     cheaper than Mosaic's HIGHEST (6-pass) lowering."""
     hi = m.astype(jnp.bfloat16).astype(jnp.float32)
-    rem = m - hi
+    # +-inf survives through hi alone; the residual would be inf-inf=NaN.
+    rem = jnp.where(jnp.isfinite(m), m - hi, 0.0)
     mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
     lo = rem - mid
     d = jax.lax.Precision.DEFAULT
@@ -210,6 +211,9 @@ def viterbi_scores_tm(lp_tm, stay_pen=0.0, skip_pen=0.0, local_pen=2.0,
         raise ValueError(f"nhist={nhist} not divisible by {group}")
 
     pad = (-B) % 8
+    # -inf log posteriors would poison the one-hot expansion matmuls
+    # (0 * inf = NaN in the accumulation); clamp to the finite -BIG.
+    lp_tm = jnp.maximum(lp_tm, -BIG)
     if pad:
         lp_tm = jnp.pad(lp_tm, ((0, 0), (0, pad), (0, 0)))
     Bp = B + pad

@@ -18,7 +18,7 @@ import enum
 
 import numpy as np
 
-from scrappie_tpu.post.overlapper import BASES, kmer_len_from_nkmer, overlap_lengths
+from scrappie_tpu.post.overlapper import kmer_len_from_nkmer, overlap_lengths
 
 NBASE = 4
 STAY = -1

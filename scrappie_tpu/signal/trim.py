@@ -9,7 +9,7 @@ from __future__ import annotations
 import numpy as np
 
 from scrappie_tpu.types import RawSignal
-from scrappie_tpu.utils.maths import madf, quantilef
+from scrappie_tpu.utils.maths import quantilef
 
 
 def trim_raw_by_mad(rt: RawSignal, chunk_size: int = 100, perc: float = 0.0) -> RawSignal:

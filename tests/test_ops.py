@@ -239,3 +239,37 @@ def test_decode_transducer_dispatch_pallas():
         score, path = decode_transducer(lp, 0.0, 0.0, 2.0)
     np.testing.assert_allclose(np.asarray(score), np.asarray(score_ref), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(path), np.asarray(path_ref))
+
+
+@pytest.mark.parametrize("viterbi", [True, False])
+def test_seqmap_kernel_matches_scan(viterbi):
+    from scrappie_tpu.decode.mapping import _map_dense
+    from scrappie_tpu.ops.seqmap import map_to_sequence_tm
+
+    rng = np.random.default_rng(14)
+    T, nst, seqlen = 21, 17, 9
+    lp = jnp.asarray(np.log(rng.dirichlet(np.ones(nst), T)).astype(np.float32))
+    seqstates = jnp.asarray(rng.integers(0, nst - 1, seqlen), jnp.int32)
+    final_ref, tb_ref = _map_dense(lp, seqstates, 0.2, 0.7, 4.0, viterbi, True)
+    final, tb = map_to_sequence_tm(lp, seqstates, 0.2, 0.7, 4.0,
+                                   viterbi=viterbi, interpret=True)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(final_ref),
+                               rtol=1e-5, atol=1e-4)
+    if viterbi:
+        np.testing.assert_array_equal(np.asarray(tb), np.asarray(tb_ref))
+
+
+def test_seqmap_dispatch_full():
+    from scrappie_tpu import ops
+    from scrappie_tpu.decode.mapping import map_to_sequence_viterbi
+
+    rng = np.random.default_rng(15)
+    T, nst, seqlen = 30, 17, 12
+    lp = np.log(rng.dirichlet(np.ones(nst), T)).astype(np.float32)
+    seq = rng.integers(0, nst - 1, seqlen).astype(np.int32)
+    with ops.pallas(False):
+        s_ref, p_ref = map_to_sequence_viterbi(lp, seq, want_path=True)
+    with ops.pallas(True):
+        s, p = map_to_sequence_viterbi(lp, seq, want_path=True)
+    assert abs(s - s_ref) < 1e-3
+    np.testing.assert_array_equal(p, p_ref)
