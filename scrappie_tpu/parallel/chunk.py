@@ -58,11 +58,21 @@ def plan_chunks(nsample: int, chunk_len: int, overlap: int, stride: int) -> Chun
 
 
 def extract_chunks(signal: np.ndarray, plan: ChunkPlan) -> np.ndarray:
-    """[nchunk, chunk_len] chunk matrix, zero-padded at the read tail."""
+    """[nchunk, chunk_len] chunk matrix, reflect-padded at the read tail.
+
+    Reflecting the signal (rather than zero padding) keeps the
+    backward-RNN context that flows from the pad into the valid region
+    statistically plausible; pad blocks are dropped by the stitch.
+    """
     out = np.zeros((plan.nchunk, plan.chunk_len), dtype=np.float32)
     for i, s in enumerate(plan.starts):
         seg = signal[s : s + plan.chunk_len]
         out[i, : len(seg)] = seg
+        npad = plan.chunk_len - len(seg)
+        if npad and len(seg) > 0:
+            refl = seg[::-1]
+            reps = -(-npad // len(refl))
+            out[i, len(seg) :] = np.tile(refl, reps)[:npad]
     return out
 
 
