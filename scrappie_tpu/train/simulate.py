@@ -105,3 +105,37 @@ class SquiggleSimulator:
             lab[last < klen - 1] = -1
             labels[b] = lab
         return sigs, labels
+
+    def crf_labelled_batch(self, batch: int, nsample: int, stride: int):
+        """Fixed-shape batch with CRF state labels [B, nblock].
+
+        CRF states: 0..3 = the base newly emitted in the block (ACGT),
+        4 = blank (no base boundary in the block; the decoder's stay,
+        decode/crf.crfpath_to_basecall).  Blocks where more than one
+        base starts are ambiguous under the one-emission-per-block CRF
+        and are masked with -1.
+        """
+        rng = self.rng
+        nblock = nsample // stride
+        sigs = np.zeros((batch, nsample, 1), dtype=np.float32)
+        labels = np.full((batch, nblock), -1, dtype=np.int32)
+        seqlen = int(nsample / 3) + 16
+        current, sd, dwells, bases = self.simulate_batch(batch, seqlen)
+        for b in range(batch):
+            base_at = np.repeat(np.arange(seqlen), dwells[b])
+            if len(base_at) < nsample:
+                base_at = np.tile(base_at, 2)
+            base_at = base_at[:nsample]
+            sig = current[b, base_at]
+            sig = sig + rng.laplace(0.0, 1.0, size=nsample) * sd[b, base_at]
+            med = np.median(sig)
+            mad = np.median(np.abs(sig - med)) * 1.4826
+            sigs[b, :, 0] = (sig - med) / max(mad, 1e-6)
+
+            last = base_at[stride - 1 :: stride][:nblock]
+            prev_last = np.concatenate([[-1], last[:-1]])
+            nnew = last - prev_last
+            lab = np.where(nnew == 0, 4, bases[b][np.minimum(last, seqlen - 1)])
+            lab[nnew > 1] = -1          # more than one base in the block
+            labels[b] = lab
+        return sigs, labels

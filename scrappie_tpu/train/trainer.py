@@ -31,7 +31,38 @@ def posterior_fn(model: str):
     if spec.kind == "raw":
         return functools.partial(forward.raw_posterior, stride=spec.stride,
                                  min_prob=0.0, return_log=True)
+    if spec.kind == "rnnrf":
+        return functools.partial(forward.rnnrf_transitions,
+                                 conv_activation=spec.conv_activation,
+                                 stride=spec.stride)
     raise ValueError(f"no trainer for model kind {spec.kind}")
+
+
+def crf_loss_fn(params, sig, labels, model: str):
+    """CRF negative log-likelihood on globally-normalised transitions.
+
+    rnnrf_transitions already subtracts logZ/nblock per block
+    (globalnorm, ref src/layers.c:874-889), so the per-path NLL is just
+    the negative sum of the labelled transition energies
+    trans[t, s_t*5 + s_{t-1}].  Masked blocks (-1) contribute nothing.
+    """
+    from scrappie_tpu import ops
+
+    with ops.pallas(False):
+        trans = posterior_fn(model)(params, sig)  # [B, nblock, 25]
+    ns = 5
+    nblock = min(trans.shape[1], labels.shape[1])
+    trans = trans[:, :nblock]
+    labels = labels[:, :nblock]
+    prev = jnp.concatenate(
+        [jnp.full((labels.shape[0], 1), 4, labels.dtype), labels[:, :-1]],
+        axis=1)
+    mask = (labels >= 0) & (prev >= 0)
+    safe_l = jnp.where(mask, labels, 0)
+    safe_p = jnp.where(mask, prev, 0)
+    idx = safe_l * ns + safe_p
+    energy = jnp.take_along_axis(trans, idx[..., None], axis=-1)[..., 0]
+    return -(energy * mask).sum() / jnp.maximum(mask.sum(), 1)
 
 
 def loss_fn(params, sig, labels, model: str):
@@ -52,9 +83,11 @@ def loss_fn(params, sig, labels, model: str):
 
 
 def make_train_step(model: str, optimizer):
+    lfn = crf_loss_fn if RAW_MODELS[model].kind == "rnnrf" else loss_fn
+
     @jax.jit
     def train_step(params, opt_state, sig, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(params, sig, labels, model)
+        loss, grads = jax.value_and_grad(lfn)(params, sig, labels, model)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -86,8 +119,10 @@ def train(model: str, steps: int = 200, batch: int = 8, nsample: int = 4000,
     sim = simulator if simulator is not None else SquiggleSimulator(seed=seed)
 
     losses = []
+    make_batch = (sim.crf_labelled_batch if spec.kind == "rnnrf"
+                  else sim.labelled_batch)
     for i in range(steps):
-        sigs, labels = sim.labelled_batch(batch, nsample, spec.stride)
+        sigs, labels = make_batch(batch, nsample, spec.stride)
         if bs is not None:
             sigs = jax.device_put(sigs, bs)
             labels = jax.device_put(labels, bs)

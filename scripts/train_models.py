@@ -47,11 +47,21 @@ def evaluate(model: str, params, n_reads: int = 6, nsample: int = 12_000, seed: 
         if spec.kind == "rgrgr":
             lp = forward.rgrgr_posterior(params, norm.reshape(1, -1, 1),
                                          conv_activation=spec.conv_activation, **kwargs)
+        elif spec.kind == "rnnrf":
+            lp = forward.rnnrf_transitions(params, norm.reshape(1, -1, 1),
+                                           conv_activation=spec.conv_activation,
+                                           stride=spec.stride)
         else:
             lp = forward.raw_posterior(params, norm.reshape(1, -1, 1), **kwargs)
         lp = np.asarray(lp)[0]
-        score, path = decode_transducer(lp, 0.0, 0.0, 2.0)
-        call = overlapper(path, lp.shape[1] - 1) or ""
+        if spec.kind == "rnnrf":
+            from scrappie_tpu.decode.crf import crfpath_to_basecall, decode_crf
+
+            score, path = decode_crf(lp)
+            call = crfpath_to_basecall(path[: lp.shape[0]]) or ""
+        else:
+            score, path = decode_transducer(lp, 0.0, 0.0, 2.0)
+            call = overlapper(path, lp.shape[1] - 1) or ""
         ident = 1.0 - Levenshtein.distance(call, true_seq) / max(len(true_seq), len(call), 1)
         idents.append(ident)
     return float(np.mean(idents))

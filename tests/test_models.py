@@ -119,3 +119,12 @@ def test_model_stride_interface():
     assert registry.get_model_stride("rgrgr_r94") == 5
     with pytest.raises(ValueError):
         registry.get_model_stride("bogus")
+
+
+def test_crf_training_step_reduces_loss():
+    """The rnnrf (CRF) trainer: loss decreases on simulated data."""
+    from scrappie_tpu.train.trainer import train
+
+    _, losses = train("rnnrf_r94", steps=6, batch=2, nsample=600, lr=1e-3,
+                      log_every=0)
+    assert losses[-1] < losses[0]
