@@ -106,6 +106,64 @@ class SquiggleSimulator:
             labels[b] = lab
         return sigs, labels
 
+    def events_labelled_batch(self, batch: int, nevent: int,
+                              split_prob: float = 0.25,
+                              klen: int = KMER_LEN):
+        """Fixed-shape event batch for the nanonet events net.
+
+        feats [B, nevent, 4] studentised (mean, stdv, length, |dmean|,
+        matching signal/features.nanonet_features_from_events); labels
+        [B, nevent] = kmer history of the event, stay (NSTATE-1) for
+        over-segmented duplicates (an event split in two, probability
+        split_prob — the reference's event detector over-segments), -1
+        masked before klen bases of history.
+        """
+        rng = self.rng
+        seqlen = nevent + klen + 8
+        current, sd, dwells, bases = self.simulate_batch(batch, seqlen)
+        mask = 4**klen - 1
+        feats = np.zeros((batch, nevent, 4), dtype=np.float32)
+        labels = np.full((batch, nevent), -1, dtype=np.int32)
+        for b in range(batch):
+            # kmer per base
+            kmers = np.full(seqlen, -1, dtype=np.int64)
+            k = 0
+            for j in range(klen):
+                k = (k << 2) | bases[b, j]
+            kmers[klen - 1] = k
+            for j in range(klen, seqlen):
+                k = ((k << 2) | bases[b, j]) & mask
+                kmers[j] = k
+            # event list: one per base, split some into two (stay)
+            base_idx = []
+            stay = []
+            for j in range(seqlen):
+                base_idx.append(j)
+                stay.append(False)
+                if rng.random() < split_prob:
+                    base_idx.append(j)
+                    stay.append(True)
+                if len(base_idx) >= nevent:
+                    break
+            base_idx = np.array(base_idx[:nevent])
+            stay = np.array(stay[:nevent])
+            mean = current[b, base_idx] + 0.3 * sd[b, base_idx] * rng.standard_normal(nevent)
+            stdv = np.abs(sd[b, base_idx] * (1.0 + 0.3 * rng.standard_normal(nevent)))
+            length = dwells[b, base_idx] / 4000.0 * np.where(stay, 0.5, 1.0)
+            feats[b, :, 0] = mean
+            feats[b, :, 1] = stdv
+            feats[b, :, 2] = length
+            feats[b, :-1, 3] = np.abs(mean[:-1] - mean[1:])
+            m = feats[b].astype(np.float64).mean(axis=0)
+            v = (feats[b].astype(np.float64) ** 2).mean(axis=0) - m * m
+            rsd = 1.0 / np.sqrt(np.maximum(v, 1e-12))
+            feats[b] = ((feats[b] * rsd) - m * rsd).astype(np.float32)
+            lab = kmers[base_idx].astype(np.int32)
+            lab = np.where(stay, NSTATE_TRANSDUCER - 1, lab)
+            lab[kmers[base_idx] < 0] = -1
+            labels[b] = lab
+        return feats, labels
+
     def crf_labelled_batch(self, batch: int, nsample: int, stride: int):
         """Fixed-shape batch with CRF state labels [B, nblock].
 

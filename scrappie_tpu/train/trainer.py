@@ -22,6 +22,9 @@ from scrappie_tpu.models.specs import RAW_MODELS
 
 
 def posterior_fn(model: str):
+    if model == "nanonet_events":
+        return functools.partial(forward.events_posterior, min_prob=0.0,
+                                 return_log=True)
     spec = RAW_MODELS[model]
     if spec.kind == "rgrgr":
         return functools.partial(
@@ -83,7 +86,8 @@ def loss_fn(params, sig, labels, model: str):
 
 
 def make_train_step(model: str, optimizer):
-    lfn = crf_loss_fn if RAW_MODELS[model].kind == "rnnrf" else loss_fn
+    kind = RAW_MODELS[model].kind if model in RAW_MODELS else "events"
+    lfn = crf_loss_fn if kind == "rnnrf" else loss_fn
 
     @jax.jit
     def train_step(params, opt_state, sig, labels):
@@ -103,7 +107,7 @@ def train(model: str, steps: int = 200, batch: int = 8, nsample: int = 4000,
     from scrappie_tpu.parallel.sharding import batch_sharding, shard_params
     from scrappie_tpu.train.simulate import SquiggleSimulator
 
-    spec = RAW_MODELS[model]
+    spec = RAW_MODELS.get(model)  # None for the events model
     if params is None:
         params = registry.load_params(model)
     params = {k: jnp.asarray(v) for k, v in params.items()}
@@ -119,10 +123,15 @@ def train(model: str, steps: int = 200, batch: int = 8, nsample: int = 4000,
     sim = simulator if simulator is not None else SquiggleSimulator(seed=seed)
 
     losses = []
-    make_batch = (sim.crf_labelled_batch if spec.kind == "rnnrf"
-                  else sim.labelled_batch)
+    if spec is None:  # nanonet_events: inputs are event features
+        make_batch = lambda b, n, _s: sim.events_labelled_batch(b, n // 8)
+        stride = None
+    else:
+        make_batch = (sim.crf_labelled_batch if spec.kind == "rnnrf"
+                      else sim.labelled_batch)
+        stride = spec.stride
     for i in range(steps):
-        sigs, labels = make_batch(batch, nsample, spec.stride)
+        sigs, labels = make_batch(batch, nsample, stride)
         if bs is not None:
             sigs = jax.device_put(sigs, bs)
             labels = jax.device_put(labels, bs)

@@ -128,3 +128,12 @@ def test_crf_training_step_reduces_loss():
     _, losses = train("rnnrf_r94", steps=6, batch=2, nsample=600, lr=1e-3,
                       log_every=0)
     assert losses[-1] < losses[0]
+
+
+def test_events_training_step_reduces_loss():
+    """The events (biLSTM) trainer: loss decreases on simulated events."""
+    from scrappie_tpu.train.trainer import train
+
+    _, losses = train("nanonet_events", steps=5, batch=2, nsample=1600,
+                      lr=1e-3, log_every=0)
+    assert losses[-1] < losses[0]
