@@ -34,7 +34,7 @@ BASELINE_CPU_SAMPLES_PER_SEC = 65_400.0
 
 CHUNK_LEN = 10000
 BATCH = 256
-GROUPS = 4
+GROUPS = 8
 WARMUP = 2
 ITERS = 5
 

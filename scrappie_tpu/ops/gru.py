@@ -1,8 +1,9 @@
 """Pallas TPU kernel for the GRU recurrence (hot loop of every raw model).
 
-Behavioural spec: ref gru_step src/layers.c:472-527 and nn/rnn.py.  The
-input projection iW.x + b for the whole sequence is one big MXU GEMM
-done by the caller; this kernel runs only the sequential part:
+Behavioural spec: ref gru_step src/layers.c:472-527 and nn/rnn.py.
+Two kernels: gru_tm_padded runs only the sequential part over
+pre-projected inputs; gru_layer_fused_tm (the production path) also
+performs the input projection in-kernel.  The recurrence:
 
     zr   = sigmoid(x[:, :2S] + h @ sW)
     hbar = tanh(x[:, 2S:] + ((r * h) @ sW2))

@@ -9,9 +9,10 @@ reversed equality chain, identical to jnp.argmax on the group axis).
 Forward kernel
   grid (batch_tiles, T); per step a time-major log-posterior block
   streams HBM->VMEM (double-buffered by the grid pipeline), the DP
-  vector lives in output blocks whose index depends only on the batch
-  tile (so they stay VMEM-resident for the whole time loop), and int16
-  traceback blocks are written per step.  The grouped max over 4
+  vector lives in VMEM scratch (a constant-index output block would be
+  flushed to HBM every grid step — measured 4x slowdown — so finals are
+  written once at the last step), and int16 traceback blocks are
+  written per step.  The grouped max over 4
   (step) / 16 (skip) / 64 (slip) predecessors is a [B, n, nhist/n]
   reshape + max over the group axis (kmer index = b0*4^(k-1) + ... +
   b_{k-1}, so predecessors of dest d form the lane set {r*q + d>>2b}).
