@@ -26,7 +26,7 @@ _TPU_PLATFORMS = ("tpu", "axon")
 _FORCE: bool | None = None
 _env = os.environ.get("SCRAPPIE_TPU_PALLAS")
 if _env is not None:
-    _FORCE = _env not in ("0", "false", "off")
+    _FORCE = _env.strip().lower() not in ("", "0", "false", "off", "no")
 
 
 def on_tpu() -> bool:
@@ -91,9 +91,26 @@ def kernel_precision_name() -> str:
 
 
 def resolve_precision(prec_name):
+    """None -> HIGHEST (exact).  Deliberately NOT the global policy:
+    prec_name is a static jit argument, and resolving a global default
+    at trace time would freeze the policy into the jit cache.  Wrappers
+    that honour the policy pass kernel_precision_name() explicitly."""
     import jax
 
-    if prec_name is None:
-        prec_name = kernel_precision_name()
-    return (jax.lax.Precision.HIGHEST if prec_name == "highest"
-            else jax.lax.Precision.DEFAULT)
+    return (jax.lax.Precision.DEFAULT if prec_name == "default"
+            else jax.lax.Precision.HIGHEST)
+
+
+LANE = 128
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pick_batch_tile(B: int, limit: int = 256) -> int:
+    """Largest multiple-of-8 batch tile <= limit that divides B."""
+    bt = min(B, limit)
+    while B % bt:
+        bt -= 8
+    return max(bt, 8)

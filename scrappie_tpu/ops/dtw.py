@@ -30,15 +30,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from scrappie_tpu.ops import interpret_mode
+from scrappie_tpu.ops import LANE, interpret_mode
+from scrappie_tpu.ops import round_up as _round_up
 
 LARGE = 1.0e30
 LOG_HALF = float(np.log(0.5))
-LANE = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _shift_right(v, k, fill=-LARGE):
@@ -81,6 +77,9 @@ def _dtw_kernel(n_ref, pb_ref, lpen_ref, spen_ref, mins_ref, sig_ref,
     local_pen = lpen_ref[0, 0]
     skip_pen = spen_ref[0, 0]
     minscore = mins_ref[0, 0]
+    # log(0) = -inf makes back states unreachable, exactly like the
+    # lax.scan reference with prob_back=0 (no products involve it, so
+    # no inf*0 hazard).
     move_back_pen = jnp.log(prob_back)
 
     mp = mp_ref[:]          # move_pen on f lanes
@@ -250,7 +249,7 @@ def squiggle_match_tm(sig, locs, scales, logscales, move_pen, stay_pen,
         scratch_shapes=[pltpu.VMEM((1, W), jnp.float32),
                         pltpu.VMEM((1, W), jnp.float32)],
         interpret=interpret,
-    )(scal(T, jnp.int32), scal(jnp.maximum(prob_back, 1e-38)), scal(local_pen),
+    )(scal(T, jnp.int32), scal(prob_back), scal(local_pen),
       scal(skip_pen), scal(minscore), sigp, mp, sp, sj, ej,
       locf, sclf, lsclf, locb, sclb, lsclb)
 

@@ -31,14 +31,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from scrappie_tpu.ops import interpret_mode
+from scrappie_tpu.ops import LANE, interpret_mode
+from scrappie_tpu.ops import pick_batch_tile as _pick_batch_tile
 from scrappie_tpu.ops import resolve_precision as _resolve_precision
-
-LANE = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from scrappie_tpu.ops import round_up as _round_up
 
 
 def pad_gru_params(iW, b, sW, sW2, in_pad: int | None = None):
@@ -96,13 +92,6 @@ def _gru_kernel(x_ref, sW_ref, sW2_ref, y_ref, h_ref, *, S, CT, reverse,
     h_ref[:] = h
 
 
-def _pick_batch_tile(B: int, limit: int = 256) -> int:
-    bt = min(B, limit)
-    while B % bt:
-        bt -= 8
-    return max(bt, 8)
-
-
 @functools.partial(jax.jit,
                    static_argnames=("reverse", "interpret", "ct", "prec_name"))
 def gru_tm_padded(x_tm, sWp, sW2p, reverse: bool = False,
@@ -125,6 +114,8 @@ def gru_tm_padded(x_tm, sWp, sW2p, reverse: bool = False,
     T, B, threeS = x_tm.shape
     Sp = sW2p.shape[0]
     assert threeS == 3 * Sp and Sp % LANE == 0 and B % 8 == 0
+    if T == 0:
+        return jnp.zeros((0, B, Sp), jnp.float32)
     Bt = _pick_batch_tile(B)
     nbt = B // Bt
 
@@ -215,6 +206,8 @@ def gru_layer_fused_tm(x_tm, iWp, bp, sWp, sW2p, reverse: bool = False,
     Sp = sW2p.shape[0]
     assert C % LANE == 0 and Sp % LANE == 0 and B % 8 == 0
     assert iWp.shape == (C, 3 * Sp)
+    if T == 0:
+        return jnp.zeros((0, B, Sp), jnp.float32)
     Bt = _pick_batch_tile(B)
     nbt = B // Bt
 

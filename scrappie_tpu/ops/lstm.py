@@ -106,6 +106,8 @@ def lstm_layer_fused_tm(x_tm, iWp, bp, sWp, peepp, reverse: bool = False,
     Sp = sWp.shape[0]
     assert C % LANE == 0 and Sp % LANE == 0 and B % 8 == 0
     assert iWp.shape == (C, 4 * Sp)
+    if T == 0:
+        return jnp.zeros((0, B, Sp), jnp.float32)
     Bt = _pick_batch_tile(B)
     nbt = B // Bt
 

@@ -21,14 +21,12 @@ import jax.numpy as jnp
 
 from scrappie_tpu.models.specs import GRU_DIRS
 from scrappie_tpu.nn.layers import conv1d, elu
-from scrappie_tpu.ops.gru import LANE, gru_layer_fused_tm, pad_gru_params
+from scrappie_tpu.ops import LANE
+from scrappie_tpu.ops import round_up as _round_up
+from scrappie_tpu.ops.gru import gru_layer_fused_tm, pad_gru_params
 from scrappie_tpu.ops.viterbi import viterbi_backtrace_tm, viterbi_fused_tm
 
 _CONV_ACT = {"elu": elu, "tanh": jnp.tanh}
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def rgrgr_basecall_fused(params, sig, **kwargs):

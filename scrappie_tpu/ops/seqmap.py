@@ -21,12 +21,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from scrappie_tpu.ops import interpret_mode
-from scrappie_tpu.ops.dtw import _round_up, _shift_right
+from scrappie_tpu.ops import LANE, interpret_mode
+from scrappie_tpu.ops import round_up as _round_up
+from scrappie_tpu.ops.dtw import _shift_right
 from scrappie_tpu.ops.viterbi import _expand
 
 BIG = 1.0e30
-LANE = 128
 
 
 def _seqmap_kernel(n_ref, staypen_ref, skippen_ref, localpen_ref, lp_ref,

@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from scrappie_tpu.ops import interpret_mode
+from scrappie_tpu.ops import pick_batch_tile as _pick_batch_tile
 
 BIG = 1.0e30
 
@@ -187,13 +188,6 @@ def _onehot_expander(nhist: int, n: int):
     return (jnp.arange(q)[:, None] == (d // n)[None, :]).astype(jnp.float32)
 
 
-def _pick_batch_tile(B: int, limit: int = 128) -> int:
-    bt = min(B, limit)
-    while B % bt:
-        bt -= 8
-    return max(bt, 8)
-
-
 @functools.partial(jax.jit, static_argnames=("use_slip", "interpret"))
 def viterbi_scores_tm(lp_tm, stay_pen=0.0, skip_pen=0.0, local_pen=2.0,
                       use_slip: bool = False, interpret: bool | None = None):
@@ -218,7 +212,7 @@ def viterbi_scores_tm(lp_tm, stay_pen=0.0, skip_pen=0.0, local_pen=2.0,
     if pad:
         lp_tm = jnp.pad(lp_tm, ((0, 0), (0, pad), (0, 0)))
     Bp = B + pad
-    Bt = _pick_batch_tile(Bp)
+    Bt = _pick_batch_tile(Bp, limit=128)
     nbt = Bp // Bt
 
     # Aligned split: history lanes | stay lane (see module docstring).
@@ -324,7 +318,7 @@ def viterbi_backtrace_tm(final, tb_tm, interpret: bool | None = None,
         tb_tm = jnp.pad(tb_tm, ((0, 0), (0, pad), (0, 0)))
         last = jnp.pad(last, (0, pad))
     Bp = B + pad
-    Bt = _pick_batch_tile(Bp)
+    Bt = _pick_batch_tile(Bp, limit=128)
     nbt = Bp // Bt
 
     # Walking starts at time T-1; pad the FRONT so pad rows (processed
@@ -455,16 +449,15 @@ def viterbi_fused_tm(h_tm, W, bvec, nstate: int | None = None, min_prob=1e-5,
     if pad:
         h_tm = jnp.pad(h_tm, ((0, 0), (0, pad), (0, 0)))
     Bp = B + pad
-    Bt = _pick_batch_tile(Bp)
+    Bt = _pick_batch_tile(Bp, limit=128)
     nbt = Bp // Bt
 
-    CT = min(ct, T)
-    tpad = (-T) % CT
-    if tpad:
-        # Zero hidden pad rows decode to garbage blocks; they are
-        # sliced off below, and the DP carry... must NOT see them:
-        # instead pad by repeating the last block and slice the tb.
-        raise ValueError("T must be a multiple of ct")
+    CT = min(ct, max(T, 1))
+    if T % CT:
+        # Time padding is not implemented for the fused kernel (pad
+        # blocks would update the DP carry); callers pick a divisor,
+        # as ops/pipeline.py does.
+        raise ValueError(f"T={T} must be a multiple of ct={CT}")
     nt = T // CT
 
     from scrappie_tpu.ops import resolve_precision

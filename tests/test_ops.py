@@ -168,8 +168,9 @@ def test_events_posterior_tm_matches_batchmajor():
                                np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("viterbi", [True, False])
-def test_dtw_kernel_matches_scan(viterbi):
+@pytest.mark.parametrize("viterbi,prob_back", [(True, 0.1), (False, 0.1),
+                                               (True, 0.0)])
+def test_dtw_kernel_matches_scan(viterbi, prob_back):
     from scrappie_tpu.decode.dtw import _penalties, _squiggle_match
     from scrappie_tpu.ops.dtw import squiggle_match_tm
 
@@ -181,11 +182,12 @@ def test_dtw_kernel_matches_scan(viterbi):
         (0.2 * rng.standard_normal(npos)).astype(np.float32),
     ], axis=1)
     sig = rng.standard_normal(T).astype(np.float32)
-    move_pen, stay_pen = _penalties(params, 1.0, 0.1)
+    with np.errstate(divide="ignore"):
+        move_pen, stay_pen = _penalties(params, 1.0, prob_back)
     args = (jnp.asarray(sig), jnp.asarray(params[:, 0]),
             jnp.exp(jnp.asarray(params[:, 1])), jnp.asarray(params[:, 1]),
             jnp.asarray(move_pen), jnp.asarray(stay_pen),
-            0.1, 2.0, 0.5, 5.0)
+            prob_back, 2.0, 0.5, 5.0)
     final_ref, tb_ref = _squiggle_match(*args, viterbi)
     final, tb = squiggle_match_tm(*args, viterbi=viterbi, interpret=True)
     np.testing.assert_allclose(np.asarray(final), np.asarray(final_ref),
