@@ -161,7 +161,7 @@ def _decode_post_crf(post: Posterior):
     nblock, _ = post.shape
     score, path = decode_crf(post.data())
     pos = np.zeros(nblock + 1, dtype=np.int64)
-    seq = crfpath_to_basecall(path[:nblock], pos)
+    seq = crfpath_to_basecall(path[: nblock + 1], pos)
     return seq, float(score), pos
 
 

@@ -49,8 +49,12 @@ def plan_chunks(nsample: int, chunk_len: int, overlap: int, stride: int) -> Chun
     else:
         hop = chunk_len - overlap
         starts = list(range(0, nsample - chunk_len, hop))
-        # Final chunk is right-aligned (stride-aligned) so it ends at nsample.
-        last = ((nsample - chunk_len) // stride) * stride
+        # Final chunk is right-aligned, CEIL-stride-aligned so its blocks
+        # cover the read's final (possibly partial) block — floor
+        # alignment would leave nblock_total-1 unproduced when nsample
+        # is not a stride multiple (extract_chunks reflect-pads the few
+        # samples that overhang the read).
+        last = -((-(nsample - chunk_len)) // stride) * stride
         if not starts or starts[-1] < last:
             starts.append(last)
         starts = np.array(starts, dtype=np.int64)
@@ -133,6 +137,25 @@ def stitch_paths(chunk_paths: np.ndarray, plan: ChunkPlan) -> np.ndarray:
         emit = chunk_paths[i, 1:]
         out[1 + lo : 1 + hi] = emit[lo - starts_blk[i] : hi - starts_blk[i]]
     return out
+
+
+def neutral_pad_crf(trans: np.ndarray, target_blocks: int) -> np.ndarray:
+    """Pad CRF transition blocks so extra blocks are decode-neutral.
+
+    Pad blocks allow only moves INTO the blank state (cost 0): the path
+    jumps to blank at the first pad block and stays, emitting nothing
+    (crfpath_to_basecall emits only states < 4), and every real state's
+    final score is carried into blank unchanged, so the decode over the
+    real blocks is unaffected.
+    """
+    T, nsq = trans.shape
+    if T >= target_blocks:
+        return trans
+    ns = int(round(np.sqrt(nsq)))
+    blank = ns - 1
+    pad = np.full((target_blocks - T, nsq), -1e30, dtype=trans.dtype)
+    pad[:, blank * ns : (blank + 1) * ns] = 0.0  # to-blank from any state
+    return np.concatenate([trans, pad], axis=0)
 
 
 def neutral_pad_logpost(logpost: np.ndarray, target_blocks: int,

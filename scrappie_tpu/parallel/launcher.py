@@ -1,15 +1,17 @@
-"""Multi-host launch: one process per host, single-controller JAX.
+"""Multi-host launch: one process per host, hosts embarrassingly parallel.
 
 The reference's only multi-machine story is shell-level fan-out
 (`find ... | parallel -P N scrappie raw`, ref README.md:81).  The
-TPU-native replacement: every host runs the same program, connected via
-jax.distributed; the global mesh spans all chips (ICI intra-slice, DCN
-across hosts), weights are replicated, and the chunk batch is sharded
-over the 'data' axis.  Each host reads its own shard of the input files
-(round-robin by index — no coordination needed), basecalls it with the
-global mesh, and host 0's ordering is restored by the caller merging
-per-host FASTA shards (files are independent, as in the reference's
-per-read output).
+TPU-native replacement: every host runs this program.  On a pod slice
+jax.distributed.initialize brings up the runtime, then each host
+basecalls its own round-robin shard of the input files on a mesh over
+its LOCAL chips (weights replicated, chunk batch data-parallel).
+Inference needs no cross-host communication — per-host-different file
+counts over a global mesh would deadlock collectives — so hosts stay
+independent and write independent FASTA shards, exactly like the
+reference's per-read outputs.  (Cross-host meshes belong to training,
+where every host steps the same global batch: train/trainer.py +
+parallel/sharding.py.)
 
 Usage (one invocation per host, e.g. under a pod launcher):
 
@@ -76,7 +78,7 @@ def run(argv=None) -> int:
         nfiles=len(files), ndevices=len(jax.devices()),
         local=len(jax.local_devices()))
 
-    mesh = make_mesh()  # all (global) devices on the 'data' axis
+    mesh = make_mesh(devices=jax.local_devices())  # hosts independent
     engine = BasecallEngine(
         args.model, chunk_len=args.chunk_len, overlap=args.overlap,
         batch_size=args.batch_per_device * mesh.shape["data"], mesh=mesh,

@@ -90,9 +90,11 @@ class BasecallEngine:
         stride = self.spec.stride
         self.chunk_len = _round_up(chunk_len, stride)
         self.overlap = _round_up(overlap, stride)
-        self.batch_size = batch_size
         self.decode_bucket = decode_bucket
-        self.mesh = mesh if mesh is not None else make_mesh(n_data=1)
+        # Default: data-parallel over every local device (the CLI never
+        # passes a mesh; pinning to one chip would idle the rest).
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.batch_size = _round_up(batch_size, self.mesh.shape["data"])
         self.params = shard_params(registry.load_params(model), self.mesh,
                                    state_shard_keys=("FF_W", "FF3_W"))
         self._batch_sharding = batch_sharding(self.mesh)
@@ -116,21 +118,23 @@ class BasecallEngine:
 
     # ------------------------------------------------------------- pipeline
 
-    def _posterior_chunks(self, all_chunks: np.ndarray) -> np.ndarray:
-        """Run [N, chunk_len] chunks through the net in batch_size groups."""
+    def _device_batches(self, all_chunks: np.ndarray):
+        """Yield zero-padded, batch-sharded [B, chunk_len, 1] device arrays."""
         N = all_chunks.shape[0]
         B = self.batch_size
-        outs = []
         for i in range(0, N, B):
             batch = all_chunks[i : i + B]
             if len(batch) < B:
                 batch = np.concatenate(
                     [batch, np.zeros((B - len(batch), self.chunk_len), np.float32)]
                 )
-            x = jax.device_put(batch[..., None], self._batch_sharding)
-            outs.append(np.asarray(self._posterior(self.params, x)))
-        out = np.concatenate(outs, axis=0)[:N]
-        return out
+            yield jax.device_put(batch[..., None], self._batch_sharding)
+
+    def _posterior_chunks(self, all_chunks: np.ndarray) -> np.ndarray:
+        """Run [N, chunk_len] chunks through the net in batch_size groups."""
+        outs = [np.asarray(self._posterior(self.params, x))
+                for x in self._device_batches(all_chunks)]
+        return np.concatenate(outs, axis=0)[: all_chunks.shape[0]]
 
     def _decode_chunks_fused(self, all_chunks: np.ndarray, stay_pen, skip_pen,
                              local_pen, use_slip):
@@ -138,16 +142,8 @@ class BasecallEngine:
         paths [N, nblock_chunk+1]) without materialising posteriors."""
         from scrappie_tpu.ops.pipeline import rgrgr_basecall_fused
 
-        N = all_chunks.shape[0]
-        B = self.batch_size
         scores, paths = [], []
-        for i in range(0, N, B):
-            batch = all_chunks[i : i + B]
-            if len(batch) < B:
-                batch = np.concatenate(
-                    [batch, np.zeros((B - len(batch), self.chunk_len), np.float32)]
-                )
-            x = jax.device_put(batch[..., None], self._batch_sharding)
+        for x in self._device_batches(all_chunks):
             s, p = rgrgr_basecall_fused(
                 self.params, x, conv_activation=self.spec.conv_activation,
                 stride=self.spec.stride, min_prob=self._min_prob,
@@ -155,6 +151,7 @@ class BasecallEngine:
                 skip_pen=skip_pen, local_pen=local_pen, use_slip=use_slip)
             scores.append(np.asarray(s))
             paths.append(np.asarray(p))
+        N = all_chunks.shape[0]
         return (np.concatenate(scores)[:N], np.concatenate(paths)[:N])
 
     def _decode_bucketed(self, logposts: list[np.ndarray], stay_pen, skip_pen,
@@ -183,6 +180,28 @@ class BasecallEngine:
                 results[g] = (float(scores[j]), paths[j, : nb + 1].copy())
         return results
 
+    def _decode_crf_bucketed(self, transs: list[np.ndarray]):
+        """Batched CRF decode with neutral padding to bucketed lengths
+        (identity-transition pad blocks add zero score; one compile per
+        bucket instead of one per distinct read length)."""
+        order = np.argsort([t.shape[0] for t in transs])
+        results: list = [None] * len(transs)
+        i = 0
+        while i < len(order):
+            target = _round_up(transs[order[i]].shape[0], self.decode_bucket)
+            group = []
+            while i < len(order) and transs[order[i]].shape[0] <= target:
+                group.append(order[i])
+                i += 1
+            padded = np.stack(
+                [chunklib.neutral_pad_crf(transs[g], target) for g in group]
+            )
+            scores, paths = decode_crf(padded)
+            for j, g in enumerate(group):
+                nb = transs[g].shape[0]
+                results[g] = (float(scores[j]), paths[j, : nb + 1].copy())
+        return results
+
     def basecall_signals(self, signals: list[RawSignal], *, trim_start=200,
                          trim_end=10, varseg_chunk=100, varseg_thresh=0.0,
                          stay_pen=0.0, skip_pen=0.0, local_pen=2.0,
@@ -197,6 +216,7 @@ class BasecallEngine:
         prepped = []
         plans = []
         all_chunks = []
+        nchunk_total = 0  # cumulative CHUNK count (reads differ in chunks)
         for rs in signals:
             try:
                 rt = trim_and_segment_raw(rs, trim_start, trim_end,
@@ -214,7 +234,8 @@ class BasecallEngine:
                     error=str(e))
                 prepped.append(None)
                 continue
-            prepped.append((rt, norm, plan, len(all_chunks)))
+            prepped.append((rt, norm, plan, nchunk_total))
+            nchunk_total += plan.nchunk
             plans.append(plan)
             all_chunks.append(chunklib.extract_chunks(norm, plan))
 
@@ -275,10 +296,7 @@ class BasecallEngine:
         results_map: dict[int, ReadResult] = {}
         with self.stage("decode"):
             if self.spec.kind == "rnnrf":
-                decoded = []
-                for lp in logposts:
-                    score, path = decode_crf(lp)
-                    decoded.append((score, path))
+                decoded = self._decode_crf_bucketed(logposts)
             else:
                 decoded = self._decode_bucketed(logposts, stay_pen, skip_pen,
                                                 local_pen, use_slip)
@@ -294,7 +312,7 @@ class BasecallEngine:
             nblock = lp.shape[0]
             pos = np.zeros(nblock + 1, dtype=np.int64)
             if self.spec.kind == "rnnrf":
-                seq = crfpath_to_basecall(path[:nblock], pos)
+                seq = crfpath_to_basecall(path[: nblock + 1], pos)
             else:
                 path = np.asarray(path).copy()
                 if homopolymer is not None:

@@ -203,3 +203,40 @@ def test_launcher_single_process_virtual_mesh(reads_dir, tmp_path):
     assert rc == 0
     text = out.read_text()
     assert text.startswith(">") and len(text.splitlines()[1]) > 100
+
+
+def test_plan_covers_final_partial_block():
+    """Regression: non-stride-multiple reads must still produce the final
+    (partial) block — floor-aligning the last chunk left an all-zeros
+    stitched row."""
+    from scrappie_tpu.parallel.chunk import chunk_keep_ranges, plan_chunks
+
+    plan = plan_chunks(nsample=141, chunk_len=40, overlap=8, stride=4)
+    ranges = chunk_keep_ranges(plan)
+    assert ranges[-1][1] == plan.nblock_total
+    covered = sorted(ranges)
+    assert covered[0][0] == 0
+    for (a, b), (c, d) in zip(covered, covered[1:]):
+        assert b == c
+
+
+def test_engine_multiread_chunk_offsets(reads_dir):
+    """Regression: a multi-chunk read followed by another read — each
+    read's engine basecall must equal its own solo basecall (a prior bug
+    offset posteriors by the READ index instead of the cumulative CHUNK
+    count, so read 2 decoded read 1's signal)."""
+    from scrappie_tpu.io.fast5 import read_raw
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.types import RawSignal
+
+    f1, f2 = sorted(reads_dir.glob("*.fast5"))[:2]
+    a = RawSignal(read_raw(f1).raw[:6000], uuid="a")
+    b = RawSignal(read_raw(f2).raw[:5000], uuid="b")
+    engine = BasecallEngine("rgrgr_r94", chunk_len=2000, overlap=400,
+                            batch_size=8)
+    together = engine.basecall_signals([a, b], local_pen=20.0)
+    solo_a = engine.basecall_signals([a], local_pen=20.0)[0]
+    solo_b = engine.basecall_signals([b], local_pen=20.0)[0]
+    assert together[0].sequence == solo_a.sequence
+    assert together[1].sequence == solo_b.sequence
+    assert together[0].sequence != together[1].sequence
