@@ -270,7 +270,11 @@ _base_to_int = {c: i for i, c in enumerate("ACGT")}
 def encode_bases(sequence: str, state_len: int = 1) -> np.ndarray:
     """Rolling kmer encoding of a base string (ref encode_bases_to_integers,
     src/scrappie_seq_helpers.c:53-74; first base most significant)."""
-    enc = np.array([_base_to_int[b] for b in sequence.upper()], dtype=np.int64)
+    try:
+        enc = np.array([_base_to_int[b] for b in sequence.upper()],
+                       dtype=np.int64)
+    except KeyError as e:
+        raise ValueError(f"sequence contains non-ACGT base {e.args[0]!r}") from None
     n = len(enc) - state_len + 1
     if n <= 0:
         raise ValueError("sequence shorter than state length")

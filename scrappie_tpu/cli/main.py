@@ -183,8 +183,9 @@ def main_raw(args) -> int:
 
     from scrappie_tpu.utils.tracing import profile
 
+    batch = max(args.batch, args.threads or 0)  # --threads ~ read-level parallelism
     engine = BasecallEngine(args.model, chunk_len=args.chunk_len, overlap=args.overlap,
-                            batch_size=args.batch, min_prob=args.min_prob,
+                            batch_size=batch, min_prob=args.min_prob,
                             tempW=args.temperature1, tempb=args.temperature2,
                             mode="fast" if args.fast else "stitch")
     prof = profile(args.profile) if args.profile else contextlib.nullcontext()
@@ -254,7 +255,8 @@ def main_events(args) -> int:
             meta = {"filename": str(f), "uuid": rs.uuid or "",
                     "normalised_score": -score / nev, "nevent": nev,
                     "sequence_length": len(seq),
-                    "events_per_base": nev / len(seq)}
+                    "events_per_base": nev / len(seq),
+                    "nsample": rs.n, "trim": [start, end]}
             fh.write(f">{args.prefix}{primary}  {json.dumps(meta)}\n{seq}\n")
         else:
             fh.write(format_sam(primary, seq, prefix=args.prefix))
@@ -275,11 +277,18 @@ def main_squiggle(args) -> int:
     fh = _out(args)
     count = 0
     for f in args.files:
+        if args.limit and count >= args.limit:
+            break
         for rec in read_fasta(f):
             if args.limit and count >= args.limit:
                 break
             count += 1
-            sq = sequence_to_squiggle(rec.seq, model=args.model, rescale=args.rescale)
+            try:
+                sq = sequence_to_squiggle(rec.seq, model=args.model,
+                                          rescale=args.rescale)
+            except ValueError as e:
+                print(f"Skipping {rec.name!r}: {e}", file=sys.stderr)
+                continue
             fh.write(f"#{args.prefix}{rec.name}\n")
             fh.write("pos\tbase\tcurrent\tsd\tdwell\n")
             for i, base in enumerate(rec.seq):
@@ -309,14 +318,21 @@ def main_mappy(args) -> int:
         return 1
     norm = medmad_normalise(rt.trimmed)
 
-    squiggle = sequence_to_squiggle(rec.seq, model=args.model, rescale=False)
+    try:
+        squiggle = sequence_to_squiggle(rec.seq, model=args.model, rescale=False)
+    except ValueError as e:
+        print(f"Could not encode {args.fasta!r}: {e}", file=sys.stderr)
+        return 1
     score, path = squiggle_match_viterbi(
         norm, squiggle, rate=args.rate, prob_back=args.backprob,
         local_pen=args.localpen, skip_pen=args.skippen, minscore=args.minscore,
     )
     full = np.full(rt.n, -1, dtype=np.int64)
     full[rt.start : rt.end] = path
-    raw = rs.raw
+    # Print the normalised signal the DTW actually aligned (the reference
+    # normalises rt.raw in place, so its TSV is in normalised units too).
+    raw = np.full(rt.n, np.nan, dtype=np.float64)
+    raw[rt.start : rt.end] = norm
 
     fh = _out(args)
     fh.write(f"# {args.fast5} to {args.fasta}  (score = {score:f})\n")
@@ -348,10 +364,18 @@ def main_seqmappy(args) -> int:
         return 1
     rs = read_raw(args.fast5)
     rt = RawTable(rs.raw).trim(args.trim[0], args.trim[1],
-                               args.segmentation[0], args.segmentation[1]).scale()
+                               args.segmentation[0], args.segmentation[1])
+    if rt.end <= rt.start:
+        print(f"Failed to trim signal from {args.fast5!r}.", file=sys.stderr)
+        return 1
+    rt = rt.scale()
     post = calc_post(rt, "rgrgr_r94", min_prob=args.min_prob,
                      tempW=args.temperature1, tempb=args.temperature2)
-    states = encode_bases(rec.seq, 5)
+    try:
+        states = encode_bases(rec.seq, 5)
+    except ValueError as e:
+        print(f"Could not encode {args.fasta!r}: {e}", file=sys.stderr)
+        return 1
     score, path = map_to_sequence_viterbi(
         post.data(), states, args.stay_pen, args.skip_pen, args.localpen,
         want_path=True,

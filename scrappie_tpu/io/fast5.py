@@ -64,7 +64,7 @@ def write_annotated_events(filename, readname: str, et: EventTable,
         h.create_dataset(
             readname,
             data=ev,
-            chunks=(min(chunk_size, len(ev)),),
+            chunks=(max(1, min(chunk_size, len(ev))),),
             shuffle=compression_level > 0,
             compression="gzip" if compression_level > 0 else None,
             compression_opts=compression_level if compression_level > 0 else None,

@@ -47,7 +47,7 @@ def read_fasta(path):
             if line[0] in ">@" and not in_qual:
                 flush()
                 head = line[1:].split(None, 1)
-                name = head[0]
+                name = head[0] if head else ""
                 comment = head[1] if len(head) > 1 else ""
                 seq_parts = []
                 qual_parts = None

@@ -41,7 +41,7 @@ def overlap_lengths(kmers: np.ndarray, klen: int) -> np.ndarray:
 
 def _emit_bases(kmers: np.ndarray, olaps: np.ndarray, klen: int) -> np.ndarray:
     """Emit the first kmer whole then the last o bases of each following kmer."""
-    ks = np.concatenate([[kmers[0]], kmers[1:]])
+    ks = kmers
     os_ = np.concatenate([[klen], olaps])
     total = int(os_.sum())
     idx = np.repeat(np.arange(len(ks)), os_)

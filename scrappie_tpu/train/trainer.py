@@ -117,7 +117,7 @@ def train(model: str, steps: int = 200, batch: int = 8, nsample: int = 4000,
     else:
         bs = None
 
-    optimizer = optax.adam(lr)
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
     opt_state = optimizer.init(params)
     step_fn = make_train_step(model, optimizer)
     sim = simulator if simulator is not None else SquiggleSimulator(seed=seed)

@@ -33,7 +33,11 @@ if _env:
     try:
         _P = float(_env)
     except ValueError:
-        _P = 0.1
+        import sys
+
+        print(f"SCRAPPIE_TPU_CHAOS={_env!r} is not a number; "
+              "chaos injection DISABLED", file=sys.stderr)
+        _P = 0.0
 
 
 def set_chaos(p: float, seed: int = 0) -> None:

@@ -128,6 +128,10 @@ def main():
                                    log_every=50)
             print(f"[{model}] {args.steps} steps in {time.time()-t0:.0f}s, "
                   f"final loss {losses[-1]:.3f}", flush=True)
+            if not all(np.isfinite(v).all() for v in params.values()):
+                print(f"[{model}] training diverged (non-finite params); "
+                      "NOT saving", flush=True)
+                continue
             npz = registry.PARAMS_DIR / f"{model}.npz"
             np.savez(npz, **params)
             registry._cache.pop(model, None)
