@@ -121,19 +121,29 @@ def test_model_stride_interface():
         registry.get_model_stride("bogus")
 
 
+def _random_params_like(model, seed):
+    from scrappie_tpu.models import registry
+
+    rng = np.random.default_rng(seed)
+    return {k: (0.1 * rng.standard_normal(v.shape)).astype(np.float32)
+            for k, v in registry.load_params(model).items()}
+
+
 def test_crf_training_step_reduces_loss():
-    """The rnnrf (CRF) trainer: loss decreases on simulated data."""
+    """The rnnrf (CRF) trainer: loss decreases from a random init (the
+    bundled weights may already be trained, leaving no headroom)."""
     from scrappie_tpu.train.trainer import train
 
     _, losses = train("rnnrf_r94", steps=6, batch=2, nsample=600, lr=1e-3,
-                      log_every=0)
+                      log_every=0, params=_random_params_like("rnnrf_r94", 0))
     assert losses[-1] < losses[0]
 
 
 def test_events_training_step_reduces_loss():
-    """The events (biLSTM) trainer: loss decreases on simulated events."""
+    """The events (biLSTM) trainer: loss decreases from a random init."""
     from scrappie_tpu.train.trainer import train
 
     _, losses = train("nanonet_events", steps=5, batch=2, nsample=1600,
-                      lr=1e-3, log_every=0)
+                      lr=1e-3, log_every=0,
+                      params=_random_params_like("nanonet_events", 1))
     assert losses[-1] < losses[0]
