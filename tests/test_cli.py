@@ -123,3 +123,31 @@ def test_mappy_short(reads_dir, tmp_path):
     # Some samples mapped to positions
     mapped = [l for l in lines[2:] if "\tN\t" not in l]
     assert len(mapped) > 100
+
+
+def test_squiggle_skips_non_acgt(tmp_path):
+    """FASTA records with N/IUPAC bases are skipped with a warning, and a
+    bare '>' header does not crash the parser."""
+    import subprocess
+    import sys
+
+    fa = tmp_path / "mixed.fa"
+    fa.write_text(">\n>has_n\nACGTNACGT\n>good\n" + "ACGT" * 30 + "\n")
+    out = tmp_path / "out.tsv"
+    r = subprocess.run(
+        [sys.executable, "-m", "scrappie_tpu", "squiggle", str(fa),
+         "-o", str(out)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Skipping" in r.stderr
+    assert "#good" in out.read_text()
+
+
+def test_encode_bases_rejects_non_acgt():
+    import pytest as _pytest
+
+    from scrappie_tpu.api import encode_bases
+
+    with _pytest.raises(ValueError, match="non-ACGT"):
+        encode_bases("ACGNT", 1)
