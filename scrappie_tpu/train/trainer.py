@@ -23,7 +23,10 @@ from scrappie_tpu.models.specs import RAW_MODELS
 
 def posterior_fn(model: str):
     if model == "nanonet_events":
-        return functools.partial(forward.events_posterior, min_prob=0.0,
+        # A small floor keeps the CE loss finite: the peephole LSTM's
+        # cell state is unbounded, and min_prob=0 lets one saturated
+        # logit drive log(softmax) to -inf (observed divergence).
+        return functools.partial(forward.events_posterior, min_prob=1e-6,
                                  return_log=True)
     spec = RAW_MODELS[model]
     if spec.kind == "rgrgr":
@@ -117,7 +120,9 @@ def train(model: str, steps: int = 200, batch: int = 8, nsample: int = 4000,
     else:
         bs = None
 
-    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+    optimizer = optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr)),
+        max_consecutive_errors=25)
     opt_state = optimizer.init(params)
     step_fn = make_train_step(model, optimizer)
     sim = simulator if simulator is not None else SquiggleSimulator(seed=seed)
