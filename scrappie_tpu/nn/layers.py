@@ -21,8 +21,13 @@ import numpy as np
 
 
 def elu(x):
-    """ELU activation (ref src/util.h:67-69)."""
-    return jnp.where(x >= 0, x, jnp.expm1(x))
+    """ELU activation (ref src/util.h:67-69).
+
+    The untaken expm1 branch is clamped so its VJP stays finite: for
+    x >= ~88.7 the raw form's gradient is 0 * exp(x) = NaN, which would
+    poison training of the elu models after one outlier pre-activation.
+    """
+    return jnp.where(x >= 0, x, jnp.expm1(jnp.minimum(x, 0.0)))
 
 
 def robustlog(x, min_prob: float):

@@ -62,6 +62,29 @@ class SquiggleSimulator:
         ).astype(np.int64)
         return current, sd, dwells, bases
 
+    def _synth_signal(self, current, sd, dwells, nsample: int):
+        """(base_at [nsample], normalised signal [nsample]) for one read."""
+        rng = self.rng
+        base_at = np.repeat(np.arange(len(dwells)), dwells)
+        if len(base_at) < nsample:  # short total dwell: tile to cover
+            base_at = np.tile(base_at, -(-nsample // len(base_at)))
+        base_at = base_at[:nsample]
+        sig = current[base_at]
+        sig = sig + rng.laplace(0.0, 1.0, size=nsample) * sd[base_at]
+        med = np.median(sig)
+        mad = np.median(np.abs(sig - med)) * 1.4826
+        return base_at, ((sig - med) / max(mad, 1e-6)).astype(np.float32)
+
+    @staticmethod
+    def _rolling_kmers(bases: np.ndarray, klen: int) -> np.ndarray:
+        """kmers[j] = kmer ending at base j (vectorised); j < klen-1 = 0."""
+        seqlen = len(bases)
+        kmers = np.zeros(seqlen, dtype=np.int64)
+        for j in range(klen):  # klen terms, each a vector op
+            kmers[klen - 1 :] += bases[j : seqlen - klen + 1 + j].astype(
+                np.int64) << (2 * (klen - 1 - j))
+        return kmers
+
     def labelled_batch(self, batch: int, nsample: int, stride: int,
                        klen: int = KMER_LEN):
         """Fixed-shape batch: signals [B, nsample, 1], labels [B, nblock].
@@ -69,34 +92,16 @@ class SquiggleSimulator:
         Stay class = NSTATE-1.  Blocks before klen bases of history get
         label -1 (masked out of the loss).
         """
-        rng = self.rng
         nblock = nsample // stride
         sigs = np.zeros((batch, nsample, 1), dtype=np.float32)
         labels = np.full((batch, nblock), -1, dtype=np.int32)
         # Enough bases to cover nsample samples at worst-case short dwells
         seqlen = int(nsample / 3) + klen + 16
         current, sd, dwells, bases = self.simulate_batch(batch, seqlen)
-        mask = 4**klen - 1
         for b in range(batch):
-            base_at = np.repeat(np.arange(seqlen), dwells[b])
-            if len(base_at) < nsample:  # extremely unlikely; re-tile
-                base_at = np.tile(base_at, 2)
-            base_at = base_at[:nsample]
-            sig = current[b, base_at]
-            sig = sig + rng.laplace(0.0, 1.0, size=nsample) * sd[b, base_at]
-            med = np.median(sig)
-            mad = np.median(np.abs(sig - med)) * 1.4826
-            sigs[b, :, 0] = (sig - med) / max(mad, 1e-6)
-
-            # Rolling kmer per base (vectorised)
-            kmers = np.zeros(seqlen, dtype=np.int64)
-            k = 0
-            for j in range(klen):
-                k = (k << 2) | bases[b, j]
-            kmers[klen - 1] = k
-            for j in range(klen, seqlen):
-                k = ((k << 2) | bases[b, j]) & mask
-                kmers[j] = k
+            base_at, sigs[b, :, 0] = self._synth_signal(
+                current[b], sd[b], dwells[b], nsample)
+            kmers = self._rolling_kmers(bases[b], klen)
 
             last = base_at[stride - 1 :: stride][:nblock]
             lab = kmers[last]
@@ -121,19 +126,11 @@ class SquiggleSimulator:
         rng = self.rng
         seqlen = nevent + klen + 8
         current, sd, dwells, bases = self.simulate_batch(batch, seqlen)
-        mask = 4**klen - 1
         feats = np.zeros((batch, nevent, 4), dtype=np.float32)
         labels = np.full((batch, nevent), -1, dtype=np.int32)
         for b in range(batch):
-            # kmer per base
-            kmers = np.full(seqlen, -1, dtype=np.int64)
-            k = 0
-            for j in range(klen):
-                k = (k << 2) | bases[b, j]
-            kmers[klen - 1] = k
-            for j in range(klen, seqlen):
-                k = ((k << 2) | bases[b, j]) & mask
-                kmers[j] = k
+            kmers = self._rolling_kmers(bases[b], klen)
+            kmers[: klen - 1] = -1
             # event list: one per base, split some into two (stay)
             base_idx = []
             stay = []
@@ -149,7 +146,12 @@ class SquiggleSimulator:
             stay = np.array(stay[:nevent])
             mean = current[b, base_idx] + 0.3 * sd[b, base_idx] * rng.standard_normal(nevent)
             stdv = np.abs(sd[b, base_idx] * (1.0 + 0.3 * rng.standard_normal(nevent)))
-            length = dwells[b, base_idx] / 4000.0 * np.where(stay, 0.5, 1.0)
+            # A split event halves BOTH halves (its successor is the
+            # stay): otherwise length would be a giveaway cue real event
+            # tables don't have.
+            next_stay = np.concatenate([stay[1:], [False]])
+            halved = stay | next_stay
+            length = dwells[b, base_idx] / 4000.0 * np.where(halved, 0.5, 1.0)
             feats[b, :, 0] = mean
             feats[b, :, 1] = stdv
             feats[b, :, 2] = length
@@ -180,15 +182,8 @@ class SquiggleSimulator:
         seqlen = int(nsample / 3) + 16
         current, sd, dwells, bases = self.simulate_batch(batch, seqlen)
         for b in range(batch):
-            base_at = np.repeat(np.arange(seqlen), dwells[b])
-            if len(base_at) < nsample:
-                base_at = np.tile(base_at, 2)
-            base_at = base_at[:nsample]
-            sig = current[b, base_at]
-            sig = sig + rng.laplace(0.0, 1.0, size=nsample) * sd[b, base_at]
-            med = np.median(sig)
-            mad = np.median(np.abs(sig - med)) * 1.4826
-            sigs[b, :, 0] = (sig - med) / max(mad, 1e-6)
+            base_at, sigs[b, :, 0] = self._synth_signal(
+                current[b], sd[b], dwells[b], nsample)
 
             last = base_at[stride - 1 :: stride][:nblock]
             prev_last = np.concatenate([[-1], last[:-1]])

@@ -89,6 +89,8 @@ def loss_fn(params, sig, labels, model: str):
 
 
 def make_train_step(model: str, optimizer):
+    if model not in RAW_MODELS and model != "nanonet_events":
+        raise ValueError(f"no trainer for model {model!r}")
     kind = RAW_MODELS[model].kind if model in RAW_MODELS else "events"
     lfn = crf_loss_fn if kind == "rnnrf" else loss_fn
 
