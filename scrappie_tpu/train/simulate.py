@@ -166,6 +166,59 @@ class SquiggleSimulator:
             labels[b] = lab
         return feats, labels
 
+    def detected_events_batch(self, batch: int, nevent: int,
+                              klen: int = KMER_LEN, return_truth: bool = False):
+        """Event batch produced by the REAL event detector.
+
+        Simulates raw signal, runs signal/events.detect_events (the
+        two-window t-stat detector the events CLI uses), extracts the
+        nanonet features from the detected table, and labels each event
+        with the kmer at its last sample (stay when the base did not
+        advance).  Unlike events_labelled_batch's synthetic per-base
+        events, the feature statistics (over/under-segmentation, dwell
+        distribution) match what real reads produce, so the trained
+        model transfers to the events CLI pipeline.
+        """
+        from scrappie_tpu.signal.events import detect_events
+        from scrappie_tpu.signal.features import nanonet_features_from_events
+        from scrappie_tpu.types import RawSignal
+
+        nsample = nevent * 10  # detector yields roughly one event per ~9 samples
+        seqlen = int(nsample / 3) + klen + 16
+        current, sd, dwells, bases = self.simulate_batch(batch, seqlen)
+        feats = np.zeros((batch, nevent, 4), dtype=np.float32)
+        labels = np.full((batch, nevent), -1, dtype=np.int32)
+        truths: list[str] = []
+        for b in range(batch):
+            base_at, sig = self._synth_signal(current[b], sd[b], dwells[b],
+                                              nsample)
+            et = detect_events(RawSignal(sig))
+            ev = et.active
+            f = nanonet_features_from_events(et)[:nevent]
+            feats[b, : len(f)] = f
+            kmers = self._rolling_kmers(bases[b], klen)
+            last_sample = np.minimum(
+                ev["start"].astype(np.int64)
+                + ev["length"].astype(np.int64) - 1, nsample - 1)[:nevent]
+            ev_base = base_at[last_sample]
+            lab = kmers[ev_base].astype(np.int32)
+            prev_base = np.concatenate([[-1], ev_base[:-1]])
+            lab = np.where(ev_base == prev_base, NSTATE_TRANSDUCER - 1, lab)
+            lab[ev_base < klen - 1] = -1
+            labels[b, : len(lab)] = lab
+            labels[b, len(lab) :] = -1
+            if return_truth:
+                vb = ev_base[ev_base >= klen - 1]
+                if len(vb):
+                    lo, hi = int(vb.min()) - (klen - 1), int(vb.max())
+                    truths.append("".join("ACGT"[x]
+                                          for x in bases[b, lo : hi + 1]))
+                else:
+                    truths.append("")
+        if return_truth:
+            return feats, labels, truths
+        return feats, labels
+
     def crf_labelled_batch(self, batch: int, nsample: int, stride: int):
         """Fixed-shape batch with CRF state labels [B, nblock].
 

@@ -131,7 +131,9 @@ def train(model: str, steps: int = 200, batch: int = 8, nsample: int = 4000,
 
     losses = []
     if spec is None:  # nanonet_events: inputs are event features
-        make_batch = lambda b, n, _s: sim.events_labelled_batch(b, n // 8)
+        # Events come from the REAL t-stat detector on simulated signal
+        # so the feature statistics match the events CLI pipeline.
+        make_batch = lambda b, n, _s: sim.detected_events_batch(b, n // 10)
         stride = None
     else:
         make_batch = (sim.crf_labelled_batch if spec.kind == "rnnrf"

@@ -32,23 +32,16 @@ def evaluate_events(params, n_reads: int = 4, nevent: int = 1500, seed: int = 12
     from scrappie_tpu.train.simulate import SquiggleSimulator
 
     sim = SquiggleSimulator(seed=seed)
-    feats, labels = sim.events_labelled_batch(n_reads, nevent)
+    feats, labels, truths = sim.detected_events_batch(n_reads, nevent,
+                                                      return_truth=True)
     lp = np.asarray(forward.events_posterior(params, feats))
     idents = []
     for b in range(n_reads):
         score, path = decode_transducer(lp[b], 0.0, 0.0, 2.0)
         call = overlapper(path, NSTATE_TRANSDUCER - 1) or ""
-        # Truth from the labels: every non-stay kmer contributes its
-        # newest base; seed with the first kmer's full history.
-        lab = labels[b]
-        valid = lab[lab >= 0]
-        moves = valid[valid != NSTATE_TRANSDUCER - 1]
-        if len(moves) == 0:
+        truth = truths[b]
+        if not truth:
             continue
-        first = moves[0]
-        bases = [(first >> (2 * (KMER_LEN - 1 - j))) & 3 for j in range(KMER_LEN)]
-        bases += [int(k) & 3 for k in moves[1:]]
-        truth = "".join("ACGT"[x] for x in bases)
         idents.append(1.0 - Levenshtein.distance(call, truth)
                       / max(len(truth), len(call), 1))
     return float(np.mean(idents)) if idents else 0.0
