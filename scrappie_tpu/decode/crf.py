@@ -181,11 +181,10 @@ def posterior_crf(trans, impl: str | None = None):
 
 
 def crfpath_to_basecall(path, pos_out: np.ndarray | None = None) -> str:
-    """Emit a base for every non-'-' state in the path.
+    """Emit a base for every emitting state in the path.
 
-    (ref crfpath_to_basecall, src/decode.c:895-918).  The reference's
-    state order is (-, A, C, G, T)?  No: states < NBASE emit bases, the
-    last state is the blank; base_lookup = ACGT.
+    (ref crfpath_to_basecall, src/decode.c:895-918).  States 0..3 emit
+    A/C/G/T; the last state (4) is the blank and emits nothing.
     """
     path = np.asarray(path)
     bases = np.array(list("ACGT"))
