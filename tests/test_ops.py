@@ -116,7 +116,10 @@ def test_rgrgr_posterior_tm_matches_batchmajor():
                                np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
-def test_fused_pipeline_matches_two_stage():
+@pytest.mark.parametrize("pens", [dict(),
+                                  dict(stay_pen=0.3, skip_pen=0.6,
+                                       local_pen=3.0, use_slip=True)])
+def test_fused_pipeline_matches_two_stage(pens):
     from scrappie_tpu.decode.transducer import (
         viterbi_local_backtrace,
         viterbi_transducer_scores,
@@ -131,11 +134,13 @@ def test_fused_pipeline_matches_two_stage():
     sig = jnp.asarray(rng.standard_normal((2, 60, 1)).astype(np.float32))
     lp = forward.rgrgr_posterior(params, sig, conv_activation=spec.conv_activation,
                                  stride=spec.stride)
-    final, tb = viterbi_transducer_scores(lp, 0.0, 0.0, 2.0, False)
+    final, tb = viterbi_transducer_scores(
+        lp, pens.get("stay_pen", 0.0), pens.get("skip_pen", 0.0),
+        pens.get("local_pen", 2.0), pens.get("use_slip", False))
     score_ref, path_ref = viterbi_local_backtrace(final, tb)
     score, path = rgrgr_basecall_fused(params, sig,
                                        conv_activation=spec.conv_activation,
-                                       stride=spec.stride)
+                                       stride=spec.stride, **pens)
     np.testing.assert_array_equal(np.asarray(path), np.asarray(path_ref))
     np.testing.assert_allclose(np.asarray(score), np.asarray(score_ref),
                                rtol=1e-5, atol=1e-4)
