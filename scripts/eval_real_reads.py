@@ -1,0 +1,24 @@
+import sys, glob, os, numpy as np, Levenshtein
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from scrappie_tpu.parallel.runner import BasecallEngine
+
+def identity(a, b):
+    return 1.0 - Levenshtein.distance(a, b) / max(len(a), len(b), 1)
+
+def revcomp(s):
+    return s.translate(str.maketrans("ACGT","TGCA"))[::-1]
+
+names = ["ch174_read172", "ch271_read66"]
+f5s, truths = [], []
+for name in names:
+    f5s.append(glob.glob(f"/root/reference/reads/*{name}_strand.fast5")[0])
+    fat = glob.glob(f"/root/reference/reads/*{name}_strand.fa")[0]
+    truths.append("".join(l.strip() for l in open(fat) if not l.startswith(">")))
+
+model = sys.argv[1]
+eng = BasecallEngine(model, batch_size=16)
+results = eng.basecall_files(f5s)
+for (_, res), name, truth in zip(results, names, truths):
+    seq = res.sequence or ""
+    fwd, rev = identity(seq, truth), identity(seq, revcomp(truth))
+    print(f"{model:12s} {name:14s} called {len(seq):6d} truth {len(truth):6d} id_fwd {fwd:.3f} id_rc {rev:.3f}", flush=True)
