@@ -147,6 +147,11 @@ def _synth_events(spec: specs.EventsModelSpec) -> dict[str, np.ndarray]:
     return p
 
 
+def weights_path(model: str) -> pathlib.Path:
+    """Registry npz path for a model's weights (load_params source)."""
+    return PARAMS_DIR / f"{model}.npz"
+
+
 def load_params(model: str) -> dict[str, np.ndarray]:
     """Load (and cache) the parameter pytree for a model by name."""
     if model in _cache:

@@ -111,6 +111,22 @@ class SquiggleSimulator:
             labels[b] = lab
         return sigs, labels
 
+    def seq_batch(self, batch: int, nsample: int, L: int,
+                  klen: int = KMER_LEN):
+        """(sigs [B,nsample,1], seqstates [B,L]) for the lattice loss
+        (train/lattice.py): the kmer sequence each window traverses."""
+        from scrappie_tpu.train.realdata import window_seqstates
+
+        sigs = np.zeros((batch, nsample, 1), dtype=np.float32)
+        seqs = np.full((batch, L), -1, dtype=np.int32)
+        seqlen = int(nsample / 3) + klen + 16
+        current, sd, dwells, bases = self.simulate_batch(batch, seqlen)
+        for b in range(batch):
+            base_at, sigs[b, :, 0] = self._synth_signal(
+                current[b], sd[b], dwells[b], nsample)
+            seqs[b] = window_seqstates(base_at, bases[b], L, klen)
+        return sigs, seqs
+
     def events_labelled_batch(self, batch: int, nevent: int,
                               split_prob: float = 0.25,
                               klen: int = KMER_LEN):
