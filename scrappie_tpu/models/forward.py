@@ -29,6 +29,7 @@ from scrappie_tpu.nn.layers import (
     window,
 )
 from scrappie_tpu.nn.rnn import gru, lstm
+from scrappie_tpu.utils.validate import checked
 
 _CONV_ACT = {"elu": elu, "tanh": jnp.tanh}
 
@@ -50,12 +51,14 @@ def rgrgr_posterior(params, sig, *, conv_activation="elu", stride=5,
                                 tempb=tempb, return_log=return_log)
         return jnp.moveaxis(lp, 0, 1)
     x = conv1d(sig, params["conv_W"], params["conv_b"], int(stride))
-    x = _CONV_ACT[conv_activation](x)
+    x = checked(_CONV_ACT[conv_activation](x), "rgrgr.conv")
     for i, d in enumerate(GRU_DIRS, start=1):
         pre = f"gru{d.upper()}{i}"
         xin = feedforward(x, params[f"{pre}_iW"], params[f"{pre}_b"])
         x = gru(xin, params[f"{pre}_sW"], params[f"{pre}_sW2"], reverse=(d == "b"))
+        x = checked(x, f"rgrgr.{pre}", lo=-1.0, hi=1.0)
     post = softmax_with_temperature(x, params["FF_W"], params["FF_b"], tempW, tempb)
+    post = checked(post, "rgrgr.softmax", lo=0.0, hi=1.0)
     return robustlog(post, min_prob) if return_log else post
 
 
@@ -89,6 +92,7 @@ def rgrgr_posterior_tm(params, sig, *, conv_activation="elu", stride=5,
     post = softmax_with_temperature(x, Wp, params["FF_b"], tempW, tempb)
     if pad:
         post = post[:, :B]
+    post = checked(post, "rgrgr_tm.softmax", lo=0.0, hi=1.0)
     return robustlog(post, min_prob) if return_log else post
 
 
@@ -104,8 +108,9 @@ def rnnrf_transitions(params, sig, *, conv_activation="elu", stride=2,
         pre = f"gru{d.upper()}{i}"
         xin = feedforward(x, params[f"{pre}_iW"], params[f"{pre}_b"])
         gx = gru(xin, params[f"{pre}_sW"], params[f"{pre}_sW2"], reverse=(d == "b"))
-        x = x + gx  # residual_inplace (ref src/networks.c:583-607)
-    return globalnorm(x, params["FF_W"], params["FF_b"])
+        x = checked(x + gx, f"rnnrf.res_{pre}")  # residual (ref :583-607)
+    return checked(globalnorm(x, params["FF_W"], params["FF_b"]),
+                   "rnnrf.globalnorm")
 
 
 def raw_posterior(params, sig, *, stride=4, min_prob=1e-5,
@@ -119,7 +124,8 @@ def raw_posterior(params, sig, *, stride=4, min_prob=1e-5,
         lp = raw_posterior_tm(params, sig, stride=stride, min_prob=min_prob,
                               tempW=tempW, tempb=tempb, return_log=return_log)
         return jnp.moveaxis(lp, 0, 1)
-    x = jnp.tanh(conv1d(sig, params["conv_W"], params["conv_b"], int(stride)))
+    x = checked(jnp.tanh(conv1d(sig, params["conv_W"], params["conv_b"],
+                                int(stride))), "raw.conv", lo=-1.0, hi=1.0)
     for layer in (1, 2):
         xf = feedforward(x, params[f"gruF{layer}_iW"], params[f"gruF{layer}_b"])
         xb = feedforward(x, params[f"gruB{layer}_iW"], params[f"gruB{layer}_b"])
@@ -127,7 +133,9 @@ def raw_posterior(params, sig, *, stride=4, min_prob=1e-5,
         hb = gru(xb, params[f"gruB{layer}_sW"], params[f"gruB{layer}_sW2"], reverse=True)
         x = feedforward2_tanh(hf, hb, params[f"FF{layer}_Wf"],
                               params[f"FF{layer}_Wb"], params[f"FF{layer}_b"])
+        x = checked(x, f"raw.ff2_{layer}", lo=-1.0, hi=1.0)
     post = softmax_with_temperature(x, params["FF3_W"], params["FF3_b"], tempW, tempb)
+    post = checked(post, "raw.softmax", lo=0.0, hi=1.0)
     return robustlog(post, min_prob) if return_log else post
 
 
@@ -168,6 +176,7 @@ def raw_posterior_tm(params, sig, *, stride=4, min_prob=1e-5,
                                     params["FF3_b"], tempW, tempb)
     if pad:
         post = post[:, :B]
+    post = checked(post, "raw_tm.softmax", lo=0.0, hi=1.0)
     return robustlog(post, min_prob) if return_log else post
 
 
@@ -189,9 +198,12 @@ def events_posterior(params, feats, *, winlen=3, min_prob=1e-5,
         xb = feedforward(x, params[f"lstmB{layer}_iW"], params[f"lstmB{layer}_b"])
         hf = lstm(xf, params[f"lstmF{layer}_sW"], params[f"lstmF{layer}_p"])
         hb = lstm(xb, params[f"lstmB{layer}_sW"], params[f"lstmB{layer}_p"], reverse=True)
-        x = feedforward2_tanh(hf, hb, params[f"FF{layer}_Wf"],
-                              params[f"FF{layer}_Wb"], params[f"FF{layer}_b"])
+        x = checked(
+            feedforward2_tanh(hf, hb, params[f"FF{layer}_Wf"],
+                              params[f"FF{layer}_Wb"], params[f"FF{layer}_b"]),
+            f"events.ff2_{layer}", lo=-1.0, hi=1.0)
     post = softmax_with_temperature(x, params["FF3_W"], params["FF3_b"], tempW, tempb)
+    post = checked(post, "events.softmax", lo=0.0, hi=1.0)
     return robustlog(post, min_prob) if return_log else post
 
 
@@ -217,6 +229,7 @@ def events_posterior_tm(params, feats, *, winlen=3, min_prob=1e-5,
                                     params["FF3_b"], tempW, tempb)
     if pad:
         post = post[:, :B]
+    post = checked(post, "events_tm.softmax", lo=0.0, hi=1.0)
     return robustlog(post, min_prob) if return_log else post
 
 
@@ -234,7 +247,9 @@ def squiggle_forward(params, seq, *, transform_units=True):
             conv1d(x, params[f"conv{k}_W"], params[f"conv{k}_b"], int(params[f"conv{k}_stride"]))
         )
         x = x + fx
-    out = conv1d(x, params["conv6_W"], params["conv6_b"], int(params["conv6_stride"]))
+    out = checked(
+        conv1d(x, params["conv6_W"], params["conv6_b"],
+               int(params["conv6_stride"])), "squiggle.conv6")
     if transform_units:
         current = out[..., 0:1]
         sd = jnp.exp(out[..., 1:2])

@@ -132,8 +132,11 @@ class BasecallEngine:
 
     def _posterior_chunks(self, all_chunks: np.ndarray) -> np.ndarray:
         """Run [N, chunk_len] chunks through the net in batch_size groups."""
+        from scrappie_tpu.utils.validate import raise_pending
+
         outs = [np.asarray(self._posterior(self.params, x))
                 for x in self._device_batches(all_chunks)]
+        raise_pending()  # surface any SCRAPPIE_TPU_VALIDATE layer failures
         return np.concatenate(outs, axis=0)[: all_chunks.shape[0]]
 
     def _decode_chunks_fused(self, all_chunks: np.ndarray, stay_pen, skip_pen,
@@ -225,6 +228,13 @@ class BasecallEngine:
                     prepped.append(None)
                     continue
                 norm = medmad_normalise(rt.trimmed)
+                # Opt-in debug validation (SCRAPPIE_TPU_VALIDATE=1):
+                # a non-finite read is caught here and skipped instead
+                # of poisoning the whole device batch (analogue of
+                # ref validate_scrappie_matrix, src/scrappie_matrix.c:138-220)
+                from scrappie_tpu.utils.validate import checked
+
+                checked(norm, f"read.norm[{rs.uuid}]")
                 plan = chunklib.plan_chunks(len(norm), self.chunk_len,
                                             self.overlap, self.spec.stride)
             except Exception as e:
