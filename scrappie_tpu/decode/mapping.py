@@ -168,17 +168,21 @@ def map_to_sequence_forward(logpost, seq, stay_pen=0.0, skip_pen=0.0, local_pen=
 
 @functools.partial(jax.jit, static_argnames=("viterbi", "width"))
 def _map_banded(logpost, emit_win, valid_win, delta, entry_ok, stay_pen,
-                skip_pen, local_pen, seq0_emit, seqm1_in_band, width: int,
-                viterbi: bool):
-    """Windowed banded DP.
+                skip_pen, local_pen, seq0_emit, seqm1_in_band, init_win,
+                width: int, viterbi: bool):
+    """Windowed banded DP over blocks 1..T-1.
 
-    emit_win [T, width]: logpost of the sequence state at band offset w;
-    valid_win [T, width]: in-band mask; delta [T]: low[t] - low[t-1]
-    (delta[0] = low[0] = 0); entry_ok [T]: low[t] == 0 (entry allowed);
-    seq0_emit [T]: logpost of seq[0] (entry), seqm1_in_band [T, 2]:
+    Block 0 follows the reference's special first-block recursion
+    (ref src/decode.c:1745-1768) and is computed by the caller into
+    `init_win` (+ the fixed start/end carries below); the scan then
+    iterates the uniform recursion.
+
+    emit_win [T-1, width]: logpost of the sequence state at band offset
+    w; valid_win [T-1, width]: in-band mask; delta [T-1]:
+    low[t] - low[t-1]; entry_ok [T-1]: low[t] == 0 (entry allowed);
+    seq0_emit [T-1]: logpost of seq[0] (entry), seqm1_in_band [T-1, 2]:
     (mask, window offset) of position seqlen-1 in the previous window.
     """
-    T = emit_win.shape[0]
     neg = jnp.float32(-BIG)
 
     if viterbi:
@@ -188,8 +192,11 @@ def _map_banded(logpost, emit_win, valid_win, delta, entry_ok, stay_pen,
         comb = jnp.logaddexp
         local_stay_fn = lambda s: jnp.logaddexp(-local_pen, s)
 
-    init_win = jnp.full((width,), -BIG, dtype=jnp.float32)
-    init = (init_win, jnp.float32(0.0), jnp.float32(-BIG))  # window, START, END
+    # Carries after block 0 (ref :1745-1768): START stayed once; END is
+    # reached only by the direct start->end transition, which the
+    # reference allows in the first block alone (commented out in the
+    # main loop, ref :1812, :1950).
+    init = (init_win, local_stay_fn(logpost[0, -1]), jnp.float32(-local_pen))
 
     def shift(prev, d, by):
         """prev window re-indexed: new[w] corresponds to old index w + d - by."""
@@ -218,8 +225,6 @@ def _map_banded(logpost, emit_win, valid_win, delta, entry_ok, stay_pen,
 
         new_start = start + local_stay_fn(stay_lp)
         new_end = end + local_stay_fn(stay_lp)
-        # Direct start->end (banded variant allows this; ref :1764, :1902)
-        new_end = comb(new_end, start - local_pen)
         # Exit from position seqlen-1
         exit_score = jnp.where(sm1[0] > 0, prev[sm1[1].astype(jnp.int32)], -BIG) - local_pen
         new_end = comb(new_end, exit_score)
@@ -228,7 +233,7 @@ def _map_banded(logpost, emit_win, valid_win, delta, entry_ok, stay_pen,
 
     (final_win, _, final_end), _ = jax.lax.scan(
         step, init, (emit_win, valid_win, delta,
-                     logpost[:, -1], seq0_emit, seqm1_in_band, entry_ok)
+                     logpost[1:, -1], seq0_emit, seqm1_in_band, entry_ok)
     )
     return final_win, final_end
 
@@ -240,12 +245,14 @@ def map_to_sequence_banded(logpost, seq, low, high, stay_pen=0.0, skip_pen=0.0,
     low/high: per-block inclusive/exclusive position bounds (monotone).
     Returns the score only (like the reference banded variants).
 
-    Note on fidelity: the reference's banded recursion has slightly
-    different first-block semantics (positions 1/2 reachable for free)
-    and allows a direct start->end transition that the unbanded variant
-    comments out.  The start->end transition is reproduced; the
-    first-block quirk is not (we treat block 0 uniformly), which only
-    matters for degenerate bands.
+    Reproduces the reference's banded recursion exactly, including its
+    first-block semantics (positions 1/2 seeded by a free step / a
+    single skip penalty, ref src/decode.c:1750-1760) and the direct
+    start->end transition that is allowed in the first block only (the
+    main loop has it commented out, ref :1812, :1950).  First-block
+    seeds outside the band are dropped: the reference writes them
+    (conditions poshigh[0]>0 / >1) but its later read ranges are always
+    clipped to the previous block's band, so they are never consumed.
     """
     lp = np.asarray(logpost, dtype=np.float32)
     seq = np.asarray(seq, dtype=np.int64)
@@ -262,7 +269,7 @@ def map_to_sequence_banded(logpost, seq, low, high, stay_pen=0.0, skip_pen=0.0,
     valid = offs < high[:, None]
     offs_c = np.minimum(offs, seqlen - 1)
     emit_win = np.take_along_axis(lp, seq[offs_c], axis=1).astype(np.float32)
-    delta = np.concatenate([[low[0]], np.diff(low)]).astype(np.int32)
+    delta = np.diff(low).astype(np.int32)
     seq0_emit = lp[:, seq[0]].astype(np.float32)
     sm1_mask = (low <= seqlen - 1) & (seqlen - 1 < high)
     # offset of seqlen-1 in the *previous* block's window (exit uses prev)
@@ -273,11 +280,20 @@ def map_to_sequence_banded(logpost, seq, low, high, stay_pen=0.0, skip_pen=0.0,
          np.clip(seqlen - 1 - prev_low, 0, width - 1).astype(np.int32)], axis=1
     )
 
+    # Block 0 (ref :1745-1768): entry at position 0, free step to 1,
+    # single-skip to 2; window offsets are absolute (low[0] == 0).
+    init_win = np.full(width, -BIG, dtype=np.float32)
+    init_win[0] = lp[0, seq[0]]
+    if width > 1 and seqlen > 1 and high[0] > 1:
+        init_win[1] = lp[0, seq[1]]
+    if width > 2 and seqlen > 2 and high[0] > 2:
+        init_win[2] = lp[0, seq[2]] - skip_pen
+
     final_win, final_end = _map_banded(
-        jnp.asarray(lp), jnp.asarray(emit_win), jnp.asarray(valid),
-        jnp.asarray(delta), jnp.asarray(low == 0), float(stay_pen), float(skip_pen),
-        float(local_pen), jnp.asarray(seq0_emit), jnp.asarray(sm1),
-        width, viterbi,
+        jnp.asarray(lp), jnp.asarray(emit_win[1:]), jnp.asarray(valid[1:]),
+        jnp.asarray(delta), jnp.asarray((low == 0)[1:]), float(stay_pen),
+        float(skip_pen), float(local_pen), jnp.asarray(seq0_emit[1:]),
+        jnp.asarray(sm1[1:]), jnp.asarray(init_win), width, viterbi,
     )
     final_win = np.asarray(final_win)
     w_last = seqlen - 1 - low[-1]

@@ -82,33 +82,57 @@ def scalar_map_forward(lp, seq, stay_pen, skip_pen, local_pen):
 
 
 def scalar_map_banded(lp, seq, low, high, stay_pen, skip_pen, local_pen, viterbi):
-    """Scalar banded DP with the same semantics as our device version:
-    uniform block-0 handling, entry while low == 0, start->end allowed."""
+    """Direct scalar port of the reference banded recursion
+    (ref src/decode.c:1706-1840 viterbi, :1844-1964 forward), including
+    the first-block seeding of positions 0/1/2, the start->end move in
+    the first block only, the clipped per-block ranges, and the vector
+    swap that leaves stale out-of-band values behind.
+
+    Caveat: when a band widens by more than 2 positions per block the
+    reference reads those stale (two-blocks-old) entries — uninitialised
+    -BIG at best, a latent bug at worst.  The device version treats them
+    as unreachable; test bands therefore widen by <= 2 per block."""
     T, nst = lp.shape
     seqlen = len(seq)
+    STAY = nst - 1
+    START, END = seqlen, seqlen + 1
     comb = max if viterbi else lse
     lstay = (lambda s: max(-local_pen, s)) if viterbi else (lambda s: lse(-local_pen, s))
+
+    ps = np.full(seqlen + 2, -BIG)
     cs = np.full(seqlen + 2, -BIG)
-    start, end = 0.0, -BIG
-    prev = np.full(seqlen, -BIG)
-    for t in range(T):
-        stay = lp[t, nst - 1]
-        curr = np.full(seqlen, -BIG)
-        for pos in range(low[t], high[t]):
-            c = prev[pos] - stay_pen + stay
-            if pos >= 1:
-                c = comb(c, prev[pos - 1] + lp[t, seq[pos]])
-            if pos >= 2:
-                c = comb(c, prev[pos - 2] - skip_pen + lp[t, seq[pos]])
-            curr[pos] = c
+    ps[START] = 0.0
+
+    # First block (ref :1745-1768)
+    stay = lp[0, STAY]
+    cs[START] = ps[START] + lstay(stay)
+    cs[END] = ps[END] + lstay(stay)
+    cs[0] = comb(cs[0], ps[0] + stay - stay_pen)
+    if high[0] > 0 and seqlen > 1:
+        cs[1] = lp[0, seq[1]]
+    if high[0] > 1 and seqlen > 2:
+        cs[2] = lp[0, seq[2]] - skip_pen
+    cs[END] = comb(cs[END], ps[START] - local_pen)  # start->end, block 0 only
+    cs[0] = comb(cs[0], ps[START] + lp[0, seq[0]])
+    cs[END] = comb(cs[END], ps[seqlen - 1] - local_pen)
+
+    for t in range(1, T):
+        ps, cs = cs, ps  # swap, stale values persist as in the reference
+        stay = lp[t, STAY]
+        cs[START] = ps[START] + lstay(stay)
+        cs[END] = ps[END] + lstay(stay)
+        for pos in range(low[t], high[t - 1]):
+            cs[pos] = ps[pos] - stay_pen + stay
+        for pos in range(max(low[t], low[t - 1] + 1),
+                         min(high[t], high[t - 1] + 1)):
+            cs[pos] = comb(cs[pos], ps[pos - 1] + lp[t, seq[pos]])
+        for pos in range(max(low[t], low[t - 1] + 2),
+                         min(high[t], high[t - 1] + 2)):
+            cs[pos] = comb(cs[pos], ps[pos - 2] - skip_pen + lp[t, seq[pos]])
         if low[t] == 0:
-            curr[0] = comb(curr[0], start + lp[t, seq[0]])
-        new_end = comb(end + lstay(stay), start - local_pen)
-        new_end = comb(new_end, prev[seqlen - 1] - local_pen)
-        start = start + lstay(stay)
-        end = new_end
-        prev = curr
-    return comb(prev[seqlen - 1], end)
+            cs[0] = comb(cs[0], ps[START] + lp[t, seq[0]])
+        cs[END] = comb(cs[END], ps[seqlen - 1] - local_pen)
+    return comb(cs[seqlen - 1], cs[END])
 
 
 # ----------------------------------------------------------------------- data
@@ -150,12 +174,48 @@ def test_map_forward_matches_scalar():
 
 
 @pytest.mark.parametrize("viterbi", [True, False])
-def test_map_banded_matches_scalar(viterbi):
+@pytest.mark.parametrize("half", [1, 2, 5])
+def test_map_banded_matches_scalar(viterbi, half):
     lp, seq = make_case(T=40, seqlen=25, seed=3)
-    low, high = diagonal_band(40, 25, half=5)
+    low, high = diagonal_band(40, 25, half=half)
     assert mapping.are_bounds_sane(low, high, 40, 25)
     got = mapping.map_to_sequence_banded(lp, seq, low, high, 0.2, 0.7, 3.0, viterbi=viterbi)
     want = scalar_map_banded(lp, seq, low, high, 0.2, 0.7, 3.0, viterbi)
+    assert abs(got - want) < 1e-3
+
+
+@pytest.mark.parametrize("viterbi", [True, False])
+def test_map_banded_width_one_staircase(viterbi):
+    """Degenerate band: exactly one allowed position per block."""
+    T, seqlen = 30, 20
+    lp, seq = make_case(T=T, seqlen=seqlen, seed=7)
+    pos = np.minimum((np.arange(T) * seqlen) // T, seqlen - 1)
+    low = pos.astype(np.int64)
+    high = low + 1
+    high[-1] = seqlen
+    assert mapping.are_bounds_sane(low, high, T, seqlen)
+    got = mapping.map_to_sequence_banded(lp, seq, low, high, 0.1, 0.9, 2.5,
+                                         viterbi=viterbi)
+    want = scalar_map_banded(lp, seq, low, high, 0.1, 0.9, 2.5, viterbi)
+    assert abs(got - want) < 1e-3
+
+
+@pytest.mark.parametrize("viterbi", [True, False])
+def test_map_banded_first_block_seeds(viterbi):
+    """Tiny case where the reference's first-block quirk (free step to
+    position 1, single skip to position 2) decides the score."""
+    rng = np.random.default_rng(11)
+    T, seqlen, nst = 4, 5, 17
+    lp = rng.standard_normal((T, nst)).astype(np.float32)
+    lp -= np.log(np.exp(lp).sum(-1, keepdims=True)).astype(np.float32)
+    seq = rng.integers(0, nst - 1, size=seqlen)
+    # make position 1's block-0 emission dominate so the seeded path wins
+    lp[0, seq[1]] = 2.0
+    low = np.zeros(T, dtype=np.int64)
+    high = np.full(T, seqlen, dtype=np.int64)
+    got = mapping.map_to_sequence_banded(lp, seq, low, high, 0.0, 0.5, 3.0,
+                                         viterbi=viterbi)
+    want = scalar_map_banded(lp, seq, low, high, 0.0, 0.5, 3.0, viterbi)
     assert abs(got - want) < 1e-3
 
 
