@@ -180,13 +180,20 @@ def posterior_crf(trans, impl: str | None = None):
     return np.asarray(post[0]) if squeeze else np.asarray(post)
 
 
-def crfpath_to_basecall(path, pos_out: np.ndarray | None = None) -> str:
+def crfpath_to_basecall(path, pos_out: np.ndarray | None = None,
+                        npos: int | None = None) -> str:
     """Emit a base for every emitting state in the path.
 
     (ref crfpath_to_basecall, src/decode.c:895-918).  States 0..3 emit
     A/C/G/T; the last state (4) is the blank and emits nothing.
+
+    npos: number of leading path entries consumed; defaults to
+    len(path) - 1 because the reference passes npos=nblock for the
+    (nblock+1)-entry Viterbi path (ref src/scrappie_raw.c:306), i.e.
+    the final entry never emits.
     """
     path = np.asarray(path)
+    path = path[: len(path) - 1 if npos is None else npos]
     bases = np.array(list("ACGT"))
     emit = path < NBASE
     seq = "".join(bases[path[emit]])
