@@ -64,8 +64,13 @@ def test_engine_survives_preprocess_fault():
     fails preprocessing for that read only."""
     from scrappie_tpu.parallel.runner import BasecallEngine
 
+    from scrappie_tpu.train.simulate import SquiggleSimulator
+
     rng = np.random.default_rng(0)
-    good = RawSignal(rng.standard_normal(4000).astype(np.float32), uuid="good")
+    # a decodable read: the real-read fine-tuned weights (correctly)
+    # basecall white noise to nothing, which would mask the isolation
+    good_sig, _, _ = SquiggleSimulator(seed=5).simulate_read(300)
+    good = RawSignal(good_sig[:4000], uuid="good")
 
     class Boom(np.ndarray):
         pass
