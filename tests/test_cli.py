@@ -3,8 +3,17 @@
 Mirrors the reference ctest suite (CMakeLists.txt:141-160): every
 subcommand runs on the bundled data and exits 0; here we additionally
 check output structure.
+
+Most tests drive cli.main.main() IN-PROCESS (sharing this process's
+JAX runtime and jit caches — a fresh subprocess pays ~20 s of JAX
+import plus cold compiles per test, which made this file alone take
+>9 min); test_version_subprocess still exercises the real
+`python -m scrappie_tpu` entry.
 """
 
+import contextlib
+import dataclasses
+import io
 import json
 import os
 import subprocess
@@ -16,12 +25,25 @@ ENV = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
 SMALL_FAST5 = "/root/reference/reads/read_ch228_file118.fast5"
 
 
+@dataclasses.dataclass
+class CliResult:
+    returncode: int
+    stdout: str
+    stderr: str
+
+
 def run_cli(*args, timeout=600):
-    return subprocess.run(
-        [sys.executable, "-m", "scrappie_tpu", *args],
-        capture_output=True, text=True, env=ENV, timeout=timeout,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    )
+    """Run the CLI in-process; mirrors subprocess.run's result shape."""
+    from scrappie_tpu.cli.main import main
+
+    out, err = io.StringIO(), io.StringIO()
+    code = 0
+    try:
+        with contextlib.redirect_stdout(out), contextlib.redirect_stderr(err):
+            code = main(list(args))
+    except SystemExit as e:  # argparse --help/errors
+        code = int(e.code or 0)
+    return CliResult(code, out.getvalue(), err.getvalue())
 
 
 def test_version():
@@ -151,3 +173,15 @@ def test_encode_bases_rejects_non_acgt():
 
     with _pytest.raises(ValueError, match="non-ACGT"):
         encode_bases("ACGNT", 1)
+
+
+def test_version_subprocess():
+    """The real `python -m scrappie_tpu` entry (everything else runs
+    in-process for speed)."""
+    r = subprocess.run(
+        [sys.executable, "-m", "scrappie_tpu", "version"],
+        capture_output=True, text=True, env=ENV, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0
+    assert "scrappie_tpu" in r.stdout
