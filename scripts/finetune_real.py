@@ -126,6 +126,8 @@ def main():
     ap.add_argument("--eval-whole", action="store_true")
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="save + eval every N steps during training")
     ap.add_argument("--save", default=None,
                     help="npz path to save fine-tuned params (default: "
                          "registry weights dir <model>.npz)")
@@ -221,6 +223,15 @@ def main():
         if i % 25 == 0 or i == args.steps - 1:
             print(f"[{model}] step {i}: loss {float(loss):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+        if args.eval_every and i and i % args.eval_every == 0:
+            pnp = {k: np.asarray(v) for k, v in params.items()}
+            if all(np.isfinite(v).all() for v in pnp.values()):
+                np.savez_compressed(args.save or registry.weights_path(model),
+                                    **pnp)
+            ident = eval_real(model, params, eval_sampler, eval_idxs,
+                              whole=args.eval_whole)
+            print(f"[{model}] step {i}: held-out identity {ident:.4f}",
+                  flush=True)
 
     params_np = {k: np.asarray(v) for k, v in params.items()}
     if any(not np.isfinite(v).all() for v in params_np.values()):

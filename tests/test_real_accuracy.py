@@ -13,7 +13,13 @@ import Levenshtein
 import numpy as np
 import pytest
 
-FLOOR = 0.70
+# Per-model floors sit ~0.02 under the identities measured at ship time
+# (BASELINE.md): rgrgr_r94 0.750/0.799, rgrgr_r941 0.714/0.763,
+# rgrgr_r10 0.701/0.743.  The flagship model is checked on both reads;
+# the variants basecall only the shorter read (ch271_read66) to keep
+# the suite's wall-clock down.
+FLOORS = {"rgrgr_r94": 0.72, "rgrgr_r941": 0.69, "rgrgr_r10": 0.68}
+ALL_READS = {"rgrgr_r94"}
 
 _RC = str.maketrans("ACGT", "TGCA")
 
@@ -33,14 +39,18 @@ def truth_pairs(reads_dir):
     return pairs
 
 
-def test_rgrgr_r94_real_read_identity(truth_pairs):
+@pytest.mark.parametrize("model", sorted(FLOORS))
+def test_real_read_identity(truth_pairs, model):
     from scrappie_tpu.parallel.runner import BasecallEngine
 
-    engine = BasecallEngine("rgrgr_r94", batch_size=16)
-    results = engine.basecall_files([f5 for f5, _ in truth_pairs])
-    for (f5, truth), (_, res) in zip(truth_pairs, results):
+    floor = FLOORS[model]
+    pairs = truth_pairs if model in ALL_READS else [
+        p for p in truth_pairs if "ch271_read66" in p[0]]
+    engine = BasecallEngine(model, batch_size=16)
+    results = engine.basecall_files([f5 for f5, _ in pairs])
+    for (f5, truth), (_, res) in zip(pairs, results):
         seq = res.sequence or ""
         ident = max(identity(seq, truth),
                     identity(seq, truth.translate(_RC)[::-1]))
-        assert ident >= FLOOR, (
-            f"{f5}: identity {ident:.3f} below floor {FLOOR}")
+        assert ident >= floor, (
+            f"{model} {f5}: identity {ident:.3f} below floor {floor}")
