@@ -186,7 +186,7 @@ def main():
     mix = np.array([float(x) for x in args.mix.split(",")])
     mix = mix / mix.sum()
 
-    use_lattice = args.loss == "lattice" and spec.kind != "rnnrf"
+    use_lattice = args.loss == "lattice"
     optimizer = optax.apply_if_finite(
         optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr)),
         max_consecutive_errors=25)
