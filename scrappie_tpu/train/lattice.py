@@ -88,14 +88,21 @@ def lattice_forward_batch(logpost, seqstates, stay_pen=0.0, skip_pen=4.0,
 
 def lattice_loss_fn(params, sig, seqstates, model: str, stay_pen=0.0,
                     skip_pen=4.0, local_pen=4.0):
-    """-log P(sequence)/nblock averaged over the batch (transducer)."""
+    """-log P(sequence)/nblock averaged over the batch (transducer).
+
+    Rows with no labelled sequence (all -1, e.g. a window over an
+    unaligned stretch) are excluded: their forward score is the -1e30
+    sentinel, which would blow up the mean (observed loss ~1e27).
+    """
     from scrappie_tpu import ops
     from scrappie_tpu.train.trainer import posterior_fn
 
     with ops.pallas(False):
         lp = posterior_fn(model)(params, sig)    # [B, T, S] log probs
     logp = lattice_forward_batch(lp, seqstates, stay_pen, skip_pen, local_pen)
-    return -(logp / lp.shape[1]).mean()
+    valid = (seqstates >= 0).any(axis=1)
+    logp = jnp.where(valid, logp, 0.0)
+    return -(logp / lp.shape[1]).sum() / jnp.maximum(valid.sum(), 1)
 
 
 @jax.jit
@@ -232,7 +239,9 @@ def crf_lattice_loss_fn(params, sig, bases, model: str, local_pen=4.0):
         trans = posterior_fn(model)(params, sig)        # [B, T, 25]
     logp = crf_lattice_forward_batch(trans, bases, local_pen)
     logz = crf_local_partition(trans, local_pen)
-    return -((logp - logz) / trans.shape[1]).mean()
+    valid = (bases >= 0).any(axis=1)
+    nll = jnp.where(valid, logz - logp, 0.0)
+    return (nll / trans.shape[1]).sum() / jnp.maximum(valid.sum(), 1)
 
 
 def make_lattice_train_step(model: str, optimizer, stay_pen=0.0,

@@ -290,3 +290,121 @@ class RealReadSampler:
         lo, hi = int(valid.min()), int(valid.max())
         truth = "".join("ACGT"[b] for b in r.bases[lo : hi + 1])
         return r.norm[s0:], truth
+
+
+def _studentise(feats: np.ndarray) -> np.ndarray:
+    """Per-feature studentisation (signal/features.py convention)."""
+    m = feats.astype(np.float64).mean(axis=0)
+    v = (feats.astype(np.float64) ** 2).mean(axis=0) - m * m
+    rsd = 1.0 / np.sqrt(np.maximum(v, 1e-12))
+    return ((feats * rsd) - m * rsd).astype(np.float32)
+
+
+class RealEventSampler:
+    """Fixed-shape event-table batches from labelled real reads.
+
+    The events pipeline analogue of RealReadSampler: each read's events
+    come from the REAL two-window t-stat detector
+    (signal/events.detect_events, behavioural spec
+    ref src/event_detection.c:268-320) run on the normalised signal, and
+    each event is labelled with the truth kmer at its last sample.
+    Holdout: events whose last sample falls in the read's tail
+    `holdout_frac` are never used for training windows.
+    """
+
+    def __init__(self, reads: list[LabelledRead], holdout_frac: float = 0.25,
+                 seed: int = 0, edge_mask: int = 8, klen: int = KMER_LEN):
+        from scrappie_tpu.signal.events import detect_events
+        from scrappie_tpu.types import RawSignal
+
+        self.reads = reads
+        self.rng = np.random.default_rng(seed)
+        self.edge_mask = edge_mask
+        self.klen = klen
+        self._ev = []
+        self._train_nev = []
+        for r in reads:
+            et = detect_events(RawSignal(r.norm))
+            ev = et.active
+            raw = np.zeros((len(ev), 4), dtype=np.float32)
+            raw[:, 0] = ev["mean"]
+            raw[:, 1] = ev["stdv"]
+            raw[:, 2] = ev["length"]
+            raw[:-1, 3] = np.abs(ev["mean"][:-1] - ev["mean"][1:])
+            last = np.minimum(
+                ev["start"].astype(np.int64)
+                + ev["length"].astype(np.int64) - 1, len(r.base_at) - 1)
+            ev_base = np.where(last >= 0, r.base_at[np.clip(last, 0, None)],
+                               -1)
+            self._ev.append({
+                "raw": raw,
+                "ev_base": ev_base.astype(np.int64),
+                "kmers": _rolling_kmers(r.bases, klen),
+            })
+            train_end_sample = int(r.nsample * (1.0 - holdout_frac))
+            self._train_nev.append(
+                int(np.searchsorted(last, train_end_sample)))
+
+    def _labels(self, d, e0: int, nevent: int) -> np.ndarray:
+        eb = d["ev_base"][e0 : e0 + nevent]
+        prev = np.concatenate([[-2], eb[:-1]])
+        lab = d["kmers"][np.clip(eb, 0, len(d["kmers"]) - 1)].astype(np.int32)
+        lab = np.where((eb == prev) & (eb >= 0), NSTATE_TRANSDUCER - 1, lab)
+        lab[(eb < self.klen - 1) | (prev < -1)] = -1
+        return lab
+
+    def batch(self, batch: int, nevent: int
+              ) -> tuple[np.ndarray, np.ndarray]:
+        """(feats [B,nevent,4] window-studentised, labels [B,nevent])."""
+        feats = np.zeros((batch, nevent, 4), dtype=np.float32)
+        labels = np.full((batch, nevent), -1, dtype=np.int32)
+        for b in range(batch):
+            ridx = int(self.rng.integers(len(self.reads)))
+            d = self._ev[ridx]
+            hi = self._train_nev[ridx] - nevent
+            e0 = int(self.rng.integers(max(hi, 1)))
+            feats[b] = _studentise(d["raw"][e0 : e0 + nevent])
+            lab = self._labels(d, e0, nevent)
+            m = self.edge_mask
+            if m:
+                lab[:m] = -1
+                lab[len(lab) - m :] = -1
+            labels[b, : len(lab)] = lab
+        return feats, labels
+
+    def seq_batch(self, batch: int, nevent: int, L: int
+                  ) -> tuple[np.ndarray, np.ndarray]:
+        """(feats [B,nevent,4], kmer seqstates [B,L]) for the lattice loss."""
+        feats = np.zeros((batch, nevent, 4), dtype=np.float32)
+        seqs = np.full((batch, L), -1, dtype=np.int32)
+        for b in range(batch):
+            ridx = int(self.rng.integers(len(self.reads)))
+            d = self._ev[ridx]
+            hi = self._train_nev[ridx] - nevent
+            e0 = int(self.rng.integers(max(hi, 1)))
+            feats[b] = _studentise(d["raw"][e0 : e0 + nevent])
+            eb = d["ev_base"][e0 : e0 + nevent]
+            valid = eb[eb >= 0]
+            if not len(valid):
+                continue
+            lo = max(int(valid.min()), self.klen - 1)
+            hi_b = int(valid.max())
+            if hi_b < lo:
+                continue
+            seq = d["kmers"][lo : hi_b + 1][:L]
+            seqs[b, : len(seq)] = seq
+        return feats, seqs
+
+    def eval_events(self, ridx: int) -> tuple[np.ndarray, str]:
+        """(held-out tail feats [nevent,4], truth substring) for eval."""
+        d = self._ev[ridx]
+        e0 = self._train_nev[ridx]
+        feats = _studentise(d["raw"][e0:])
+        eb = d["ev_base"][e0:]
+        valid = eb[eb >= 0]
+        if not len(valid):
+            return feats, ""
+        lo, hi = int(valid.min()), int(valid.max())
+        truth = "".join(
+            "ACGT"[b] for b in self.reads[ridx].bases[lo : hi + 1])
+        return feats, truth

@@ -67,6 +67,25 @@ def eval_real(model: str, params, sampler, read_idxs, whole: bool = False):
     from scrappie_tpu.models.specs import RAW_MODELS
     from scrappie_tpu.post.overlapper import overlapper
 
+    if model == "nanonet_events":
+        from scrappie_tpu.models.specs import NSTATE_TRANSDUCER
+
+        idents = []
+        for ridx in read_idxs:
+            feats, truth = sampler.eval_events(ridx)
+            if not truth:
+                continue
+            lp = np.asarray(forward.events_posterior(
+                params, jnp.asarray(feats)[None], return_log=True))[0]
+            score, path = decode_transducer(lp, 0.0, 0.0, 2.0)
+            call = overlapper(path, NSTATE_TRANSDUCER - 1) or ""
+            ident = 1.0 - Levenshtein.distance(call, truth) / max(
+                len(truth), len(call), 1)
+            idents.append(ident)
+            print(f"  read {ridx}: called {len(call)} truth {len(truth)} "
+                  f"identity {ident:.4f}", flush=True)
+        return float(np.mean(idents)) if idents else float("nan")
+
     spec = RAW_MODELS[model]
     idents = []
     for ridx in read_idxs:
@@ -114,6 +133,8 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--nsample", type=int, default=4000)
+    ap.add_argument("--nevent", type=int, default=600,
+                    help="events per window (nanonet_events only)")
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--mix", default="0.45,0.35,0.20",
                     help="batch source probabilities: augmented-real,"
@@ -145,14 +166,23 @@ def main():
     from scrappie_tpu.train.trainer import make_train_step
 
     model = args.model
-    spec = RAW_MODELS[model]
+    is_events = model == "nanonet_events"
+    spec = None if is_events else RAW_MODELS[model]
     reads = load_reads(refresh=args.refresh_labels)
     train_idxs = (args.train_reads if args.train_reads is not None
                   else list(range(len(reads))))
     eval_idxs = (args.eval_reads if args.eval_reads is not None
                  else list(range(len(reads))))
-    sampler = RealReadSampler([reads[i] for i in train_idxs], seed=args.seed)
-    eval_sampler = RealReadSampler(reads, seed=args.seed)
+    if is_events:
+        from scrappie_tpu.train.realdata import RealEventSampler
+
+        sampler = RealEventSampler([reads[i] for i in train_idxs],
+                                   seed=args.seed)
+        eval_sampler = RealEventSampler(reads, seed=args.seed)
+    else:
+        sampler = RealReadSampler([reads[i] for i in train_idxs],
+                                  seed=args.seed)
+        eval_sampler = RealReadSampler(reads, seed=args.seed)
 
     if args.init:
         params = dict(np.load(args.init))
@@ -166,12 +196,21 @@ def main():
         print(f"[{model}] held-out identity: {ident:.4f}")
         return
 
-    from scrappie_tpu.train.realsim import EmpiricalModel, RealisticSimulator
-
-    kind = "crf" if spec.kind == "rnnrf" else "transducer"
     sim = SquiggleSimulator(seed=args.seed + 1)
-    emp = RealisticSimulator(EmpiricalModel.fit(sampler.train_region_reads()),
-                             seed=args.seed + 3)
+    if is_events:
+        # No empirical-simulator analogue for event tables: fold the emp
+        # probability into detector-sim batches (already real-detector
+        # statistics, BASELINE.md round-1 events note).
+        emp = None
+        kind = "events"
+    else:
+        from scrappie_tpu.train.realsim import EmpiricalModel, \
+            RealisticSimulator
+
+        kind = "crf" if spec.kind == "rnnrf" else "transducer"
+        emp = RealisticSimulator(
+            EmpiricalModel.fit(sampler.train_region_reads()),
+            seed=args.seed + 3)
 
     def sim_batch(b, n, s):
         fn = (sim.crf_labelled_batch if spec.kind == "rnnrf"
@@ -182,6 +221,20 @@ def main():
         fn = (emp.crf_labelled_batch if spec.kind == "rnnrf"
               else emp.labelled_batch)
         return fn(b, n, s)
+
+    def sim_events_seq(b, nevent, L):
+        """Detector-sim event batch with kmer seqstates for the lattice."""
+        from scrappie_tpu.api import encode_bases
+        from scrappie_tpu.models.specs import KMER_LEN
+
+        feats, _, truths = sim.detected_events_batch(b, nevent,
+                                                     return_truth=True)
+        seqs = np.full((b, L), -1, np.int32)
+        for i, t in enumerate(truths):
+            if len(t) >= KMER_LEN:
+                st = np.asarray(encode_bases(t, KMER_LEN), np.int32)
+                seqs[i, : min(len(st), L)] = st[:L]
+        return feats, seqs
 
     mix = np.array([float(x) for x in args.mix.split(",")])
     mix = mix / mix.sum()
@@ -195,8 +248,11 @@ def main():
         from scrappie_tpu.train.lattice import make_lattice_train_step
 
         step_fn = make_lattice_train_step(model, optimizer)
-        # worst case ~1 base per 1.4 blocks; round to one compile size
-        L = ((args.nsample // spec.stride) * 3 // 4 + 127) // 128 * 128
+        if is_events:
+            L = args.nevent  # worst case one base per event
+        else:
+            # worst case ~1 base per 1.4 blocks; round to one compile size
+            L = ((args.nsample // spec.stride) * 3 // 4 + 127) // 128 * 128
     else:
         step_fn = make_train_step(model, optimizer)
     rng = np.random.default_rng(args.seed + 2)
@@ -204,7 +260,19 @@ def main():
     t0 = time.time()
     for i in range(args.steps):
         src = rng.choice(3, p=mix)
-        if use_lattice:
+        if is_events:
+            if use_lattice:
+                if src == 0:
+                    sigs, labels = sampler.seq_batch(args.batch, args.nevent,
+                                                     L)
+                else:
+                    sigs, labels = sim_events_seq(args.batch, args.nevent, L)
+            elif src == 0:
+                sigs, labels = sampler.batch(args.batch, args.nevent)
+            else:
+                sigs, labels = sim.detected_events_batch(args.batch,
+                                                         args.nevent)
+        elif use_lattice:
             if src == 0:
                 sigs, labels = sampler.seq_batch(args.batch, args.nsample, L,
                                                  augment=True)
