@@ -139,6 +139,9 @@ def main():
     ap.add_argument("--mix", default="0.45,0.35,0.20",
                     help="batch source probabilities: augmented-real,"
                          "empirical-sim,squiggle-sim")
+    ap.add_argument("--local-pen", type=float, default=4.0,
+                    help="lattice START/END per-block penalty; 1e30 "
+                         "disables the local states (pure CTC marginal)")
     ap.add_argument("--loss", choices=["lattice", "ce"], default="lattice",
                     help="lattice = alignment-free CTC-style (transducer "
                          "models); ce = per-block cross-entropy")
@@ -247,7 +250,8 @@ def main():
     if use_lattice:
         from scrappie_tpu.train.lattice import make_lattice_train_step
 
-        step_fn = make_lattice_train_step(model, optimizer)
+        step_fn = make_lattice_train_step(model, optimizer,
+                                          local_pen=args.local_pen)
         if is_events:
             L = args.nevent  # worst case one base per event
         else:
