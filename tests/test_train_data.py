@@ -121,6 +121,27 @@ def test_event_sampler_seq_batch(ev_sampler):
         assert (v < NSTATE_TRANSDUCER - 1).all()  # kmer states, no stay
 
 
+def test_events_lattice_train_step_runs(ev_sampler):
+    """One lattice train step on real-detector event windows: finite
+    loss, finite params (the real fine-tune path of finetune_real)."""
+    import jax.numpy as jnp
+    import optax
+
+    from scrappie_tpu.models import registry
+    from scrappie_tpu.train.lattice import make_lattice_train_step
+
+    params = {k: jnp.asarray(v)
+              for k, v in registry.load_params("nanonet_events").items()}
+    opt = optax.apply_if_finite(optax.adam(1e-4), 5)
+    step = make_lattice_train_step("nanonet_events", opt)
+    state = opt.init(params)
+    feats, seqs = ev_sampler.seq_batch(2, 96, 120)
+    params, state, loss = step(params, state, jnp.asarray(feats),
+                               jnp.asarray(seqs))
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(v)).all() for v in params.values())
+
+
 def test_raw_sampler_augment_and_holdout():
     reads = [synth_read(5)]
     s = RealReadSampler(reads, holdout_frac=0.25, seed=0)
