@@ -39,9 +39,36 @@ WARMUP = 2
 ITERS = 5
 
 
+def _watchdog(seconds: float = 900.0):
+    """Hard-exit with a JSON error line if the bench wedges.
+
+    The tunnelled TPU's relay process can die mid-session, after which
+    device calls hang forever instead of failing; a silent hang would
+    stall the caller.  A daemon timer bounds the whole run.
+    """
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "rgrgr_r94 raw samples/sec/chip",
+            "value": 0.0,
+            "unit": "samples/s",
+            "vs_baseline": 0.0,
+            "error": f"bench exceeded {seconds:.0f}s (device unreachable?)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _watchdog()
 
     from scrappie_tpu.models import registry
     from scrappie_tpu.models.specs import RAW_MODELS
