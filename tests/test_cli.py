@@ -156,10 +156,13 @@ def test_squiggle_skips_non_acgt(tmp_path):
     fa = tmp_path / "mixed.fa"
     fa.write_text(">\n>has_n\nACGTNACGT\n>good\n" + "ACGT" * 30 + "\n")
     out = tmp_path / "out.tsv"
+    import os
+
+    env = dict(os.environ, SCRAPPIE_TPU_PLATFORM="cpu")
     r = subprocess.run(
         [sys.executable, "-m", "scrappie_tpu", "squiggle", str(fa),
          "-o", str(out)],
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=600, env=env,
     )
     assert r.returncode == 0, r.stderr
     assert "Skipping" in r.stderr
