@@ -106,11 +106,16 @@ def test_crf_posterior_matches_bruteforce():
 
 
 def test_crfpath_to_basecall():
-    path = np.array([4, 0, 4, 1, 1, 2, 4, 3])
+    # The (nblock+1)-entry Viterbi path's final entry never emits: the
+    # reference passes npos=nblock (ref src/scrappie_raw.c:306,
+    # src/decode.c:895-918), so the trailing 3 here is dropped.
+    path = np.array([4, 0, 4, 1, 1, 2, 4, 3, 3])
     pos = np.zeros(len(path), dtype=np.int64)
     seq = crfpath_to_basecall(path, pos)
     assert seq == "ACCGT"
-    np.testing.assert_array_equal(pos, [-1, 0, 0, 1, 2, 3, 3, 4])
+    np.testing.assert_array_equal(pos[:-1], [-1, 0, 0, 1, 2, 3, 3, 4])
+    # Explicit npos consumes exactly that many entries
+    assert crfpath_to_basecall(path, npos=7) == "ACCG"
 
 
 def test_overlap_lengths():
