@@ -16,9 +16,22 @@ for name in names:
     truths.append("".join(l.strip() for l in open(fat) if not l.startswith(">")))
 
 model = sys.argv[1]
-eng = BasecallEngine(model, batch_size=16)
-results = eng.basecall_files(f5s)
-for (_, res), name, truth in zip(results, names, truths):
-    seq = res.sequence or ""
+if model == "nanonet_events":
+    import h5py
+
+    from scrappie_tpu.api import basecall_events
+
+    seqs = []
+    for f5 in f5s:
+        with h5py.File(f5) as h:
+            r = list(h["Raw/Reads"])[0]
+            sig = h[f"Raw/Reads/{r}/Signal"][()].astype(np.float32)
+            m = h["/UniqueGlobalKey/channel_id"].attrs
+            sig = (sig + m["offset"]) * (m["range"] / m["digitisation"])
+        seqs.append(basecall_events(sig)[0] or "")
+else:
+    eng = BasecallEngine(model, batch_size=16)
+    seqs = [res.sequence or "" for _, res in eng.basecall_files(f5s)]
+for seq, name, truth in zip(seqs, names, truths):
     fwd, rev = identity(seq, truth), identity(seq, revcomp(truth))
     print(f"{model:12s} {name:14s} called {len(seq):6d} truth {len(truth):6d} id_fwd {fwd:.3f} id_rc {rev:.3f}", flush=True)
