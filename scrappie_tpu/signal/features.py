@@ -12,13 +12,24 @@ from scrappie_tpu.types import EventTable, RawSignal
 from scrappie_tpu.utils.maths import madf
 
 
+def studentise_features(feats: np.ndarray) -> np.ndarray:
+    """Per-feature studentisation across events (float64 accumulation).
+
+    Matches ref src/nnfeatures.c:46-72, except the reference uses an
+    *approximate* reciprocal square root (_mm_rsqrt_ps, ~1e-3 relative
+    error): we use the exact value, so features agree to ~1e-3 relative.
+    """
+    m = feats.astype(np.float64).mean(axis=0)
+    v = (feats.astype(np.float64) ** 2).mean(axis=0) - m * m
+    rsd = 1.0 / np.sqrt(v)
+    return ((feats * rsd.astype(np.float32))
+            - (m * rsd).astype(np.float32)).astype(np.float32)
+
+
 def nanonet_features_from_events(et: EventTable, normalise: bool = True) -> np.ndarray:
     """4 features per event: mean, stdv, length, |delta mean| (last = 0).
 
-    Studentisation matches ref src/nnfeatures.c:46-99, including the
-    reference's use of an *approximate* reciprocal square root
-    (_mm_rsqrt_ps, ~1e-3 relative error): we use the exact value, so
-    features agree with the reference to ~1e-3 relative.
+    (ref src/nnfeatures.c:74-99.)
     """
     ev = et.active
     nevent = len(ev)
@@ -29,13 +40,7 @@ def nanonet_features_from_events(et: EventTable, normalise: bool = True) -> np.n
     feats[:-1, 3] = np.abs(ev["mean"][:-1] - ev["mean"][1:])
 
     if normalise:
-        # Per-feature studentisation across events (float64 accumulation).
-        m = feats.astype(np.float64).mean(axis=0)
-        v = (feats.astype(np.float64) ** 2).mean(axis=0) - m * m
-        rsd = 1.0 / np.sqrt(v)
-        feats = ((feats * rsd.astype(np.float32)) - (m * rsd).astype(np.float32)).astype(
-            np.float32
-        )
+        feats = studentise_features(feats)
     return feats
 
 

@@ -292,14 +292,6 @@ class RealReadSampler:
         return r.norm[s0:], truth
 
 
-def _studentise(feats: np.ndarray) -> np.ndarray:
-    """Per-feature studentisation (signal/features.py convention)."""
-    m = feats.astype(np.float64).mean(axis=0)
-    v = (feats.astype(np.float64) ** 2).mean(axis=0) - m * m
-    rsd = 1.0 / np.sqrt(np.maximum(v, 1e-12))
-    return ((feats * rsd) - m * rsd).astype(np.float32)
-
-
 class RealEventSampler:
     """Fixed-shape event-table batches from labelled real reads.
 
@@ -308,13 +300,17 @@ class RealEventSampler:
     (signal/events.detect_events, behavioural spec
     ref src/event_detection.c:268-320) run on the normalised signal, and
     each event is labelled with the truth kmer at its last sample.
-    Holdout: events whose last sample falls in the read's tail
-    `holdout_frac` are never used for training windows.
+    Features are studentised over the WHOLE read's event table — the
+    same statistics api.basecall_events feeds the network — and windows
+    slice the normalised features.  Holdout: events whose last sample
+    falls in the read's tail `holdout_frac` are never used for training
+    windows.
     """
 
     def __init__(self, reads: list[LabelledRead], holdout_frac: float = 0.25,
                  seed: int = 0, edge_mask: int = 8, klen: int = KMER_LEN):
         from scrappie_tpu.signal.events import detect_events
+        from scrappie_tpu.signal.features import nanonet_features_from_events
         from scrappie_tpu.types import RawSignal
 
         self.reads = reads
@@ -326,24 +322,28 @@ class RealEventSampler:
         for r in reads:
             et = detect_events(RawSignal(r.norm))
             ev = et.active
-            raw = np.zeros((len(ev), 4), dtype=np.float32)
-            raw[:, 0] = ev["mean"]
-            raw[:, 1] = ev["stdv"]
-            raw[:, 2] = ev["length"]
-            raw[:-1, 3] = np.abs(ev["mean"][:-1] - ev["mean"][1:])
+            feats = nanonet_features_from_events(et, normalise=True)
             last = np.minimum(
                 ev["start"].astype(np.int64)
                 + ev["length"].astype(np.int64) - 1, len(r.base_at) - 1)
             ev_base = np.where(last >= 0, r.base_at[np.clip(last, 0, None)],
                                -1)
             self._ev.append({
-                "raw": raw,
+                "feats": feats,
                 "ev_base": ev_base.astype(np.int64),
                 "kmers": _rolling_kmers(r.bases, klen),
             })
             train_end_sample = int(r.nsample * (1.0 - holdout_frac))
             self._train_nev.append(
                 int(np.searchsorted(last, train_end_sample)))
+
+    def _window(self, ridx: int, nevent: int) -> tuple[int, int]:
+        """Start index and length of a training window that stays
+        inside the read's training region (short regions clamp)."""
+        n_train = self._train_nev[ridx]
+        hi = n_train - nevent
+        e0 = int(self.rng.integers(max(hi, 1))) if hi > 0 else 0
+        return e0, min(nevent, n_train - e0)
 
     def _labels(self, d, e0: int, nevent: int) -> np.ndarray:
         eb = d["ev_base"][e0 : e0 + nevent]
@@ -355,16 +355,15 @@ class RealEventSampler:
 
     def batch(self, batch: int, nevent: int
               ) -> tuple[np.ndarray, np.ndarray]:
-        """(feats [B,nevent,4] window-studentised, labels [B,nevent])."""
+        """(feats [B,nevent,4] read-studentised, labels [B,nevent])."""
         feats = np.zeros((batch, nevent, 4), dtype=np.float32)
         labels = np.full((batch, nevent), -1, dtype=np.int32)
         for b in range(batch):
             ridx = int(self.rng.integers(len(self.reads)))
             d = self._ev[ridx]
-            hi = self._train_nev[ridx] - nevent
-            e0 = int(self.rng.integers(max(hi, 1)))
-            feats[b] = _studentise(d["raw"][e0 : e0 + nevent])
-            lab = self._labels(d, e0, nevent)
+            e0, n = self._window(ridx, nevent)
+            feats[b, :n] = d["feats"][e0 : e0 + n]
+            lab = self._labels(d, e0, n)
             m = self.edge_mask
             if m:
                 lab[:m] = -1
@@ -380,10 +379,9 @@ class RealEventSampler:
         for b in range(batch):
             ridx = int(self.rng.integers(len(self.reads)))
             d = self._ev[ridx]
-            hi = self._train_nev[ridx] - nevent
-            e0 = int(self.rng.integers(max(hi, 1)))
-            feats[b] = _studentise(d["raw"][e0 : e0 + nevent])
-            eb = d["ev_base"][e0 : e0 + nevent]
+            e0, n = self._window(ridx, nevent)
+            feats[b, :n] = d["feats"][e0 : e0 + n]
+            eb = d["ev_base"][e0 : e0 + n]
             valid = eb[eb >= 0]
             if not len(valid):
                 continue
@@ -395,11 +393,13 @@ class RealEventSampler:
             seqs[b, : len(seq)] = seq
         return feats, seqs
 
-    def eval_events(self, ridx: int) -> tuple[np.ndarray, str]:
-        """(held-out tail feats [nevent,4], truth substring) for eval."""
+    def eval_events(self, ridx: int, whole: bool = False
+                    ) -> tuple[np.ndarray, str]:
+        """(feats [n,4], truth substring): the held-out tail, or the
+        whole read with whole=True."""
         d = self._ev[ridx]
-        e0 = self._train_nev[ridx]
-        feats = _studentise(d["raw"][e0:])
+        e0 = 0 if whole else self._train_nev[ridx]
+        feats = d["feats"][e0:]
         eb = d["ev_base"][e0:]
         valid = eb[eb >= 0]
         if not len(valid):

@@ -17,18 +17,11 @@ for name in names:
 
 model = sys.argv[1]
 if model == "nanonet_events":
-    import h5py
-
     from scrappie_tpu.api import basecall_events
+    from scrappie_tpu.io.fast5 import read_raw
 
-    seqs = []
-    for f5 in f5s:
-        with h5py.File(f5) as h:
-            r = list(h["Raw/Reads"])[0]
-            sig = h[f"Raw/Reads/{r}/Signal"][()].astype(np.float32)
-            m = h["/UniqueGlobalKey/channel_id"].attrs
-            sig = (sig + m["offset"]) * (m["range"] / m["digitisation"])
-        seqs.append(basecall_events(sig)[0] or "")
+    seqs = [basecall_events(read_raw(f5, scale_to_pA=True).raw)[0] or ""
+            for f5 in f5s]
 else:
     eng = BasecallEngine(model, batch_size=16)
     seqs = [res.sequence or "" for _, res in eng.basecall_files(f5s)]

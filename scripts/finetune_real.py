@@ -72,13 +72,15 @@ def eval_real(model: str, params, sampler, read_idxs, whole: bool = False):
 
         idents = []
         for ridx in read_idxs:
-            feats, truth = sampler.eval_events(ridx)
+            feats, truth = sampler.eval_events(ridx, whole=whole)
             if not truth:
                 continue
             lp = np.asarray(forward.events_posterior(
                 params, jnp.asarray(feats)[None], return_log=True))[0]
             score, path = decode_transducer(lp, 0.0, 0.0, 2.0)
-            call = overlapper(path, NSTATE_TRANSDUCER - 1) or ""
+            # Match the shipping pipeline: only the first nev entries
+            # are stitched (api.basecall_events, ref src/scrappie_events.c:301)
+            call = overlapper(path[: lp.shape[0]], NSTATE_TRANSDUCER - 1) or ""
             ident = 1.0 - Levenshtein.distance(call, truth) / max(
                 len(truth), len(call), 1)
             idents.append(ident)
@@ -139,9 +141,13 @@ def main():
     ap.add_argument("--mix", default="0.45,0.35,0.20",
                     help="batch source probabilities: augmented-real,"
                          "empirical-sim,squiggle-sim")
-    ap.add_argument("--local-pen", type=float, default=4.0,
+    ap.add_argument("--local-pen", type=float, default=None,
                     help="lattice START/END per-block penalty; 1e30 "
-                         "disables the local states (pure CTC marginal)")
+                         "disables the local states (pure CTC marginal). "
+                         "Default: 4.0 for per-block-normalised transducer "
+                         "models, 1e30 for CRF models (finite local states "
+                         "are unsound for globally-normalised energies, "
+                         "see train/lattice.py)")
     ap.add_argument("--loss", choices=["lattice", "ce"], default="lattice",
                     help="lattice = alignment-free CTC-style (transducer "
                          "models); ce = per-block cross-entropy")
@@ -250,8 +256,12 @@ def main():
     if use_lattice:
         from scrappie_tpu.train.lattice import make_lattice_train_step
 
+        local_pen = args.local_pen
+        if local_pen is None:
+            local_pen = 1.0e30 if (spec is not None
+                                   and spec.kind == "rnnrf") else 4.0
         step_fn = make_lattice_train_step(model, optimizer,
-                                          local_pen=args.local_pen)
+                                          local_pen=local_pen)
         if is_events:
             L = args.nevent  # worst case one base per event
         else:

@@ -43,17 +43,11 @@ def truth_pairs(reads_dir):
 def test_events_real_read_identity(truth_pairs):
     """Events pipeline floor on the shorter bundled read (shipped
     weights measured 0.728/0.754, BASELINE.md)."""
-    import h5py
-
     from scrappie_tpu.api import basecall_events
+    from scrappie_tpu.io.fast5 import read_raw
 
     f5, truth = next(p for p in truth_pairs if "ch271_read66" in p[0])
-    with h5py.File(f5) as h:
-        r = list(h["Raw/Reads"])[0]
-        sig = h[f"Raw/Reads/{r}/Signal"][()].astype(np.float32)
-        m = h["/UniqueGlobalKey/channel_id"].attrs
-        sig = (sig + m["offset"]) * (m["range"] / m["digitisation"])
-    seq = basecall_events(sig)[0] or ""
+    seq = basecall_events(read_raw(f5, scale_to_pA=True).raw)[0] or ""
     ident = max(identity(seq, truth),
                 identity(seq, truth.translate(_RC)[::-1]))
     assert ident >= 0.72, f"events identity {ident:.3f} below floor"
