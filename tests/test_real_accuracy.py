@@ -42,7 +42,7 @@ def truth_pairs(reads_dir):
 
 def test_events_real_read_identity(truth_pairs):
     """Events pipeline floor on the shorter bundled read (shipped
-    weights measured 0.728/0.754, BASELINE.md)."""
+    weights measured 0.756/0.809, BASELINE.md)."""
     from scrappie_tpu.api import basecall_events
     from scrappie_tpu.io.fast5 import read_raw
 
@@ -50,7 +50,7 @@ def test_events_real_read_identity(truth_pairs):
     seq = basecall_events(read_raw(f5, scale_to_pA=True).raw)[0] or ""
     ident = max(identity(seq, truth),
                 identity(seq, truth.translate(_RC)[::-1]))
-    assert ident >= 0.72, f"events identity {ident:.3f} below floor"
+    assert ident >= 0.77, f"events identity {ident:.3f} below floor"
 
 
 @pytest.mark.parametrize("model", sorted(FLOORS))
