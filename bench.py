@@ -38,6 +38,12 @@ GROUPS = 8
 WARMUP = 2
 ITERS = 5
 
+# CPU-fallback sizes (single core; used only when the TPU is unreachable).
+CPU_BATCH = 8
+CPU_GROUPS = 1
+CPU_WARMUP = 1
+CPU_ITERS = 3
+
 
 def _watchdog(seconds: float = 900.0):
     """Hard-exit with a JSON error line if the bench wedges.
@@ -64,60 +70,112 @@ def _watchdog(seconds: float = 900.0):
     t.start()
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def _device_alive(timeout: float = 150.0) -> bool:
+    """Probe the default JAX backend in a killable subprocess.
 
+    The tunnelled TPU's relay process can die mid-session, after which
+    device calls in *this* process would hang forever instead of
+    failing.  Probing in a child converts that hang into a clean,
+    bounded CPU fallback (the child is killed on timeout; the parent
+    has not initialised any backend yet).
+    """
+    import subprocess
+
+    code = ("import jax, numpy as np;"
+            "np.asarray(jax.numpy.ones((2, 2)).sum());"
+            "print(jax.default_backend())")
+    try:
+        out = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                             capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False
+    return out.returncode == 0 and out.stdout.strip() in ("tpu", "axon")
+
+
+def main():
     _watchdog()
+    on_device = _device_alive()
+
+    import jax
+
+    if not on_device:
+        # Must happen before any backend use; the env var alone is
+        # overridden by this environment's sitecustomize.
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
 
     from scrappie_tpu.models import registry
     from scrappie_tpu.models.specs import RAW_MODELS
-    from scrappie_tpu.ops.pipeline import rgrgr_basecall_fused
 
     spec = RAW_MODELS["rgrgr_r94"]
     params = {k: jnp.asarray(v) for k, v in registry.load_params("rgrgr_r94").items()}
 
+    groups, batch = (GROUPS, BATCH) if on_device else (CPU_GROUPS, CPU_BATCH)
+    warmup, iters = (WARMUP, ITERS) if on_device else (CPU_WARMUP, CPU_ITERS)
+
     rng = np.random.default_rng(0)
     sigs = jnp.asarray(
-        rng.standard_normal((GROUPS, BATCH, CHUNK_LEN, 1)), dtype=jnp.float32
+        rng.standard_normal((groups, batch, CHUNK_LEN, 1)), dtype=jnp.float32
     )
 
-    @jax.jit
-    def pipeline(params, sigs):
-        return jax.lax.map(
-            lambda s: rgrgr_basecall_fused(
-                params, s, conv_activation=spec.conv_activation,
-                stride=spec.stride),
-            sigs,
-        )
+    if on_device:
+        from scrappie_tpu.ops.pipeline import rgrgr_basecall_fused
+
+        @jax.jit
+        def pipeline(params, sigs):
+            return jax.lax.map(
+                lambda s: rgrgr_basecall_fused(
+                    params, s, conv_activation=spec.conv_activation,
+                    stride=spec.stride),
+                sigs,
+            )
+    else:
+        # Same compute, lax.scan path (the Pallas kernels only run in
+        # slow interpret mode off-TPU).  Numbers are an honest CPU
+        # measurement, flagged in the JSON below.
+        from scrappie_tpu.decode.transducer import viterbi_decode_batch
+        from scrappie_tpu.models.forward import rgrgr_posterior
+
+        @jax.jit
+        def pipeline(params, sigs):
+            return jax.lax.map(
+                lambda s: viterbi_decode_batch(
+                    rgrgr_posterior(params, s,
+                                    conv_activation=spec.conv_activation,
+                                    stride=spec.stride)),
+                sigs,
+            )
 
     # Warmup / compile.  One tiny host transfer forces completion (the
     # tunneled TPU's block_until_ready is unreliable; every transfer is
     # one ~30ms round trip, so sync on a single element only).
-    for _ in range(WARMUP):
+    for _ in range(warmup):
         score, path = pipeline(params, sigs)
         np.asarray(score.ravel()[0])
 
     times = []
-    for _ in range(ITERS):
+    for _ in range(iters):
         t0 = time.perf_counter()
         score, path = pipeline(params, sigs)
         np.asarray(score.ravel()[0])
         times.append(time.perf_counter() - t0)
 
     best = min(times)
-    samples = GROUPS * BATCH * CHUNK_LEN
+    samples = groups * batch * CHUNK_LEN
     sps = samples / best
-    print(
-        json.dumps(
-            {
-                "metric": "rgrgr_r94 raw samples/sec/chip (fused conv+GRU+posterior+Viterbi decode)",
-                "value": round(sps, 1),
-                "unit": "samples/s",
-                "vs_baseline": round(sps / BASELINE_CPU_SAMPLES_PER_SEC, 2),
-            }
-        )
-    )
+    result = {
+        "metric": "rgrgr_r94 raw samples/sec/chip (fused conv+GRU+posterior+Viterbi decode)",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / BASELINE_CPU_SAMPLES_PER_SEC, 2),
+    }
+    if not on_device:
+        result["platform"] = "cpu"
+        result["note"] = ("TPU tunnel unreachable at bench time; this is the "
+                          "lax.scan path on one CPU core. Device-verified TPU "
+                          "number: ~67M samples/s (BENCH_r01.json, BASELINE.md).")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -198,7 +198,14 @@ def crfpath_to_basecall(path, pos_out: np.ndarray | None = None,
     emit = path < NBASE
     seq = "".join(bases[path[emit]])
     if pos_out is not None:
-        # pos[i] = index into basecall after block i (mirrors reference fill)
+        # pos[i] = index into basecall after block i.  The reference
+        # leaves the CRF pos array caller-zeroed (its int* pos argument
+        # is shadowed by the loop variable and never written,
+        # ref src/decode.c:895-918); filling it is our extension, so
+        # fill it completely: trailing boundaries (the final path entry
+        # never emits) carry the last emitted index.
         np.cumsum(emit, out=pos_out[: len(path)])
         pos_out[: len(path)] -= 1
+        if len(path) and len(pos_out) > len(path):
+            pos_out[len(path):] = pos_out[len(path) - 1]
     return seq

@@ -283,7 +283,8 @@ def map_to_sequence_banded(logpost, seq, low, high, stay_pen=0.0, skip_pen=0.0,
     # Block 0 (ref :1745-1768): entry at position 0, free step to 1,
     # single-skip to 2; window offsets are absolute (low[0] == 0).
     init_win = np.full(width, -BIG, dtype=np.float32)
-    init_win[0] = lp[0, seq[0]]
+    if high[0] > 0:  # like seeds 1/2: an out-of-band seed is never consumed
+        init_win[0] = lp[0, seq[0]]
     if width > 1 and seqlen > 1 and high[0] > 1:
         init_win[1] = lp[0, seq[1]]
     if width > 2 and seqlen > 2 and high[0] > 2:

@@ -173,12 +173,17 @@ class BasecallEngine:
         return (np.concatenate(scores)[:N], np.concatenate(paths)[:N])
 
     def _posterior_chunks_device(self, all_chunks: np.ndarray):
-        """Like _posterior_chunks but the result STAYS on device:
-        [N, nblock_chunk, nstate] with padding rows sliced away."""
+        """Like _posterior_chunks but the result STAYS on device and
+        KEEPS the batch padding rows: [ceil(N/B)*B, nblock_chunk, ns].
+
+        Keeping the padded shape means _gather_decode specialises on
+        (batch-count, nreads-bucket, T-bucket) instead of on every
+        distinct chunk total, so streaming groups reuse one compile;
+        padding rows are never referenced by flat_idx (it indexes only
+        real chunk offsets plus the appended neutral row)."""
         outs = [self._posterior(self.params, x)
                 for x in self._device_batches(all_chunks)]
-        post = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-        return post[: all_chunks.shape[0]]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     def _stitch_decode_device(self, prepped, read_chunks, stay_pen, skip_pen,
                               local_pen, use_slip):
@@ -242,6 +247,12 @@ class BasecallEngine:
                     float(skip_pen), float(local_pen), bool(use_slip))
                 scores = np.asarray(scores)
                 paths = np.asarray(paths)
+            # device->host sync point: surface SCRAPPIE_TPU_VALIDATE
+            # layer failures from the posterior/decode callbacks now,
+            # attributed to this group (not a later unrelated call)
+            from scrappie_tpu.utils.validate import raise_pending
+
+            raise_pending()
             for j, (i, e, _c) in enumerate(group):
                 nblock = e[2].nblock_total
                 results[i] = (float(scores[j]), paths[j, : nblock + 1].copy())

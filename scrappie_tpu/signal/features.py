@@ -21,7 +21,13 @@ def studentise_features(feats: np.ndarray) -> np.ndarray:
     """
     m = feats.astype(np.float64).mean(axis=0)
     v = (feats.astype(np.float64) ** 2).mean(axis=0) - m * m
-    rsd = 1.0 / np.sqrt(v)
+    # A (near-)constant column has v <= 0 up to cancellation; the
+    # reference's rsqrt emits ±inf features there, which would poison
+    # the net (and training gradients — this helper also normalises
+    # real-event training windows).  A zero-variance feature carries no
+    # information: studentise it to exactly 0 instead.
+    safe = v > 0.0
+    rsd = np.where(safe, 1.0 / np.sqrt(np.where(safe, v, 1.0)), 0.0)
     return ((feats * rsd.astype(np.float32))
             - (m * rsd).astype(np.float32)).astype(np.float32)
 

@@ -236,8 +236,12 @@ class RealReadSampler:
             r = self.reads[ridx]
             hi = self._train_end[ridx] - nsample
             s0 = (int(self.rng.integers(max(hi, 1))) // stride) * stride
-            win = r.norm[s0 : s0 + nsample]
-            ba = r.base_at[s0 : s0 + nsample]
+            # clamp to the training region: when the read is shorter
+            # than nsample + holdout the window must not run into the
+            # held-out tail (the unfilled rest stays zero/masked)
+            end = min(s0 + nsample, self._train_end[ridx])
+            win = r.norm[s0:end]
+            ba = r.base_at[s0:end]
             if augment:
                 from scrappie_tpu.train.realsim import augment_window
 
@@ -261,8 +265,9 @@ class RealReadSampler:
             r = self.reads[ridx]
             hi = self._train_end[ridx] - nsample
             s0 = int(self.rng.integers(max(hi, 1)))
-            win = r.norm[s0 : s0 + nsample]
-            ba = r.base_at[s0 : s0 + nsample]
+            end = min(s0 + nsample, self._train_end[ridx])
+            win = r.norm[s0:end]
+            ba = r.base_at[s0:end]
             if augment:
                 from scrappie_tpu.train.realsim import augment_window
 

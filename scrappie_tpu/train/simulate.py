@@ -77,13 +77,13 @@ class SquiggleSimulator:
 
     @staticmethod
     def _rolling_kmers(bases: np.ndarray, klen: int) -> np.ndarray:
-        """kmers[j] = kmer ending at base j (vectorised); j < klen-1 = 0."""
-        seqlen = len(bases)
-        kmers = np.zeros(seqlen, dtype=np.int64)
-        for j in range(klen):  # klen terms, each a vector op
-            kmers[klen - 1 :] += bases[j : seqlen - klen + 1 + j].astype(
-                np.int64) << (2 * (klen - 1 - j))
-        return kmers
+        """kmers[j] = kmer ending at base j; j < klen-1 = 0.
+
+        Shared with the real-read labelling pipeline so the simulated
+        and real label encodings can never diverge."""
+        from scrappie_tpu.train.realdata import _rolling_kmers
+
+        return _rolling_kmers(np.asarray(bases, dtype=np.int64), klen)
 
     def labelled_batch(self, batch: int, nsample: int, stride: int,
                        klen: int = KMER_LEN):

@@ -87,7 +87,7 @@ def evaluate(model: str, params, n_reads: int = 6, nsample: int = 12_000, seed: 
             from scrappie_tpu.decode.crf import crfpath_to_basecall, decode_crf
 
             score, path = decode_crf(lp)
-            call = crfpath_to_basecall(path[: lp.shape[0]]) or ""
+            call = crfpath_to_basecall(path) or ""
         else:
             score, path = decode_transducer(lp, 0.0, 0.0, 2.0)
             call = overlapper(path, lp.shape[1] - 1) or ""

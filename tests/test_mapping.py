@@ -219,6 +219,28 @@ def test_map_banded_first_block_seeds(viterbi):
     assert abs(got - want) < 1e-3
 
 
+@pytest.mark.parametrize("viterbi", [True, False])
+def test_map_banded_empty_first_band(viterbi):
+    """are_bounds_sane permits an EMPTY first band (low[0]==high[0]==0).
+    The reference writes the position-0 seed anyway but its clipped read
+    ranges never consume an out-of-band seed; the device version must
+    drop it too (regression: it used to write init_win[0]
+    unconditionally, letting block 1's stay/step consume it)."""
+    rng = np.random.default_rng(23)
+    T, seqlen, nst = 6, 4, 17
+    lp = rng.standard_normal((T, nst)).astype(np.float32)
+    lp -= np.log(np.exp(lp).sum(-1, keepdims=True)).astype(np.float32)
+    seq = rng.integers(0, nst - 1, size=seqlen)
+    lp[0, seq[0]] = 5.0  # a consumed out-of-band seed would dominate
+    low = np.array([0, 0, 1, 1, 2, 2], dtype=np.int64)
+    high = np.array([0, 2, 2, 3, 4, 4], dtype=np.int64)
+    assert mapping.are_bounds_sane(low, high, T, seqlen)
+    got = mapping.map_to_sequence_banded(lp, seq, low, high, 0.1, 0.6, 2.0,
+                                         viterbi=viterbi)
+    want = scalar_map_banded(lp, seq, low, high, 0.1, 0.6, 2.0, viterbi)
+    assert abs(got - want) < 1e-3
+
+
 def test_full_band_viterbi_close_to_dense():
     """A full-width band (plus the start->end extra move) should recover
     the dense Viterbi score when the best path actually maps."""
