@@ -240,3 +240,28 @@ def test_engine_multiread_chunk_offsets(reads_dir):
     assert together[0].sequence == solo_a.sequence
     assert together[1].sequence == solo_b.sequence
     assert together[0].sequence != together[1].sequence
+
+
+def test_engine_device_stitch_compiles_once(reads_dir):
+    """Streaming groups with DIFFERENT chunk totals (but the same batch
+    and decode bucket) must reuse one _gather_decode compile: the
+    posterior keeps its padded [ceil(N/B)*B] shape so the jit cache key
+    does not depend on the per-group chunk count (a prior version
+    sliced to the exact total and recompiled nearly every group)."""
+    from scrappie_tpu.io.fast5 import read_raw
+    from scrappie_tpu.parallel import runner
+    from scrappie_tpu.types import RawSignal
+
+    raw = read_raw(sorted(reads_dir.glob("*.fast5"))[0]).raw
+    engine = runner.BasecallEngine("rgrgr_r94", chunk_len=2000, overlap=400,
+                                   batch_size=4)
+    if not hasattr(runner._gather_decode, "_cache_size"):
+        import pytest
+
+        pytest.skip("jax.jit cache introspection unavailable")
+    # 2-chunk read, then a 3-chunk read: different chunk totals, same
+    # padded batch (4), same nreads bucket (8), same T bucket (1024).
+    engine.basecall_signals([RawSignal(raw[:3600], uuid="g1")], local_pen=20.0)
+    n0 = runner._gather_decode._cache_size()
+    engine.basecall_signals([RawSignal(raw[:5200], uuid="g2")], local_pen=20.0)
+    assert runner._gather_decode._cache_size() == n0
