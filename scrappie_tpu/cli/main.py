@@ -420,16 +420,9 @@ def main_event_table(args) -> int:
 
 
 def main(argv=None) -> int:
-    import os
+    from scrappie_tpu.utils.platform import apply_platform_override
 
-    platform = os.environ.get("SCRAPPIE_TPU_PLATFORM")
-    if platform:
-        # Must land before any backend initialises.  An env override is
-        # needed because this environment's sitecustomize pins
-        # jax_platforms itself, so JAX_PLATFORMS alone is ignored.
-        import jax
-
-        jax.config.update("jax_platforms", platform)
+    apply_platform_override()
 
     argv = list(sys.argv[1:] if argv is None else argv)
     parser = build_parser()

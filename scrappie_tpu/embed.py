@@ -13,23 +13,12 @@ All inputs are C-contiguous float32 buffers passed as buffer objects
 
 from __future__ import annotations
 
-import os
-
-_CONFIGURED = False
-
-
 def _ensure_platform() -> None:
     """Honor SCRAPPIE_TPU_PLATFORM before the first JAX backend use
-    (mirrors cli/main.py; the env var beats sitecustomize pins)."""
-    global _CONFIGURED
-    if _CONFIGURED:
-        return
-    platform = os.environ.get("SCRAPPIE_TPU_PLATFORM")
-    if platform:
-        import jax
+    (the env var beats sitecustomize pins)."""
+    from scrappie_tpu.utils.platform import apply_platform_override
 
-        jax.config.update("jax_platforms", platform)
-    _CONFIGURED = True
+    apply_platform_override()
 
 
 def version() -> str:

@@ -1,5 +1,9 @@
 import sys, glob, os, numpy as np, Levenshtein
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from scrappie_tpu.utils.platform import apply_platform_override
+
+apply_platform_override()
+
 from scrappie_tpu.parallel.runner import BasecallEngine
 
 def identity(a, b):

@@ -25,6 +25,10 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from scrappie_tpu.utils.platform import apply_platform_override
+
+apply_platform_override()
+
 
 CACHE = os.path.join(os.path.dirname(__file__), "..", ".cache")
 

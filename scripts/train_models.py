@@ -18,6 +18,10 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
+from scrappie_tpu.utils.platform import apply_platform_override
+
+apply_platform_override()
+
 
 
 def evaluate_events(params, n_reads: int = 4, nevent: int = 1500, seed: int = 1234):
