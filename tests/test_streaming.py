@@ -1,0 +1,124 @@
+"""StreamingBasecaller: incremental signal in, bases out.
+
+Contracts (scrappie_tpu/parallel/streaming.py):
+  - increment-invariance: any split of the same signal yields identical
+    bases and identical per-feed commit boundaries;
+  - geometry parity: on a pre-normalised signal whose length puts the
+    engine's right-aligned last chunk on the uniform grid, streaming
+    output equals the batch engine's 'fast' mode exactly;
+  - accuracy: streaming a simulated squiggle (with its own frozen
+    calibration) basecalls the truth about as well as the engine.
+"""
+
+import numpy as np
+import pytest
+
+from scrappie_tpu.parallel.streaming import StreamingBasecaller
+
+CHUNK, OV = 2000, 400
+
+
+def _sim_read(nbase=600, seed=11):
+    from scrappie_tpu.train.simulate import SquiggleSimulator
+
+    sig, bases, _ = SquiggleSimulator(seed=seed).simulate_read(nbase)
+    truth = "".join("ACGT"[b] for b in bases)
+    return np.asarray(sig, np.float32), truth
+
+
+def _stream(sig, splits, **kw):
+    sb = StreamingBasecaller("rgrgr_r94", CHUNK, OV, **kw)
+    fed, out = 0, []
+    for n in splits:
+        out.append(sb.feed(sig[fed : fed + n]))
+        fed += n
+    assert fed == len(sig)
+    out.append(sb.flush())
+    return sb, out
+
+
+def test_increment_invariance():
+    sig, _ = _sim_read()
+    rng = np.random.default_rng(0)
+    one, out_one = _stream(sig, [len(sig)])
+    # random small increments
+    splits = []
+    left = len(sig)
+    while left:
+        n = min(left, int(rng.integers(1, 900)))
+        splits.append(n)
+        left -= n
+    many, out_many = _stream(sig, splits)
+    assert one.sequence == many.sequence
+    assert one.sequence  # non-trivial
+    assert np.isclose(one.score, many.score)
+    # bases only ever appended
+    assert "".join(out_one) == "".join(out_many) == one.sequence
+
+
+def test_matches_engine_fast_mode():
+    """On the uniform-grid length, streaming == engine fast mode exactly."""
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.types import RawSignal
+
+    # trim to exactly 3 hops + chunk so plan_chunks' right-aligned last
+    # chunk falls on the uniform grid the stream uses
+    n = 3 * (CHUNK - OV) + CHUNK
+    nbase = 900
+    while True:
+        sig, _ = _sim_read(nbase=nbase, seed=3)
+        if len(sig) >= n:
+            break
+        nbase += 200
+    sig = sig[:n]
+    # engine normalises whole-read; give both the identical pre-normalised
+    # signal and disable stream calibration
+    from scrappie_tpu.utils.maths import medmad_normalise
+
+    norm = medmad_normalise(sig)
+    eng = BasecallEngine("rgrgr_r94", chunk_len=CHUNK, overlap=OV,
+                         batch_size=4, mode="fast")
+    res = eng.basecall_signals([RawSignal(norm, uuid="s")], trim_start=0,
+                               trim_end=0, varseg_thresh=0.0)[0]
+    sb, _ = _stream(norm, [len(norm)], normalise=False)
+    assert sb.sequence == res.sequence
+
+
+def test_streaming_accuracy_vs_truth():
+    import Levenshtein
+
+    sig, truth = _sim_read(nbase=800, seed=7)
+    sb, _ = _stream(sig, [512] * (len(sig) // 512) + [len(sig) % 512])
+    ident = 1.0 - Levenshtein.distance(sb.sequence, truth) / max(
+        len(truth), len(sb.sequence))
+    assert ident > 0.85, (ident, len(sb.sequence), len(truth))
+
+
+def test_short_read_single_flush():
+    sig, _ = _sim_read(nbase=60, seed=5)
+    assert len(sig) < CHUNK
+    sb = StreamingBasecaller("rgrgr_r94", CHUNK, OV)
+    assert sb.feed(sig) == ""
+    seq = sb.flush()
+    assert seq == sb.sequence and len(seq) > 10
+
+
+def test_empty_stream():
+    sb = StreamingBasecaller("rgrgr_r94", CHUNK, OV)
+    assert sb.flush() == ""
+    with pytest.raises(RuntimeError):
+        sb.feed(np.zeros(5, np.float32))
+
+
+def test_crf_streaming():
+    sig, truth = _sim_read(nbase=500, seed=9)
+    del truth
+    # CRF model: emissions are per-block independent; check invariance
+    sb1 = StreamingBasecaller("rnnrf_r94", CHUNK, OV)
+    sb1.feed(sig)
+    sb1.flush()
+    sb2 = StreamingBasecaller("rnnrf_r94", CHUNK, OV)
+    for i in range(0, len(sig), 777):
+        sb2.feed(sig[i : i + 777])
+    sb2.flush()
+    assert sb1.sequence == sb2.sequence and len(sb1.sequence) > 50
