@@ -167,6 +167,22 @@ def build_parser():
     _add_common(et)
     et.add_argument("files", nargs="+", help="fast5 files or directories")
 
+    # ---- serve (TPU-native extra: no reference analogue — its serving
+    # story is a shell fan-out, ref README.md:81)
+    sv = sub.add_parser("serve", help="TCP basecall server (dynamic batching)")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=7777)
+    sv.add_argument("--model", default="rgrgr_r94",
+                    choices=["raw_r94", "rgrgr_r94", "rgrgr_r941",
+                             "rgrgr_r10", "rnnrf_r94"])
+    sv.add_argument("--batch", type=int, default=8, help="Device batch size")
+    sv.add_argument("--chunk-len", type=int, default=10000)
+    sv.add_argument("--overlap", type=int, default=1000)
+    sv.add_argument("--max-batch-reads", type=int, default=16,
+                    help="Max reads coalesced into one engine call")
+    sv.add_argument("--max-wait-ms", type=float, default=25.0,
+                    help="Max wait for co-batched requests")
+
     sub.add_parser("version", help="print version")
     sub.add_parser("licence", help="print licensing information")
     sub.add_parser("license", help="print licensing information")
@@ -419,6 +435,16 @@ def main_event_table(args) -> int:
     return 0
 
 
+def main_serve(args) -> int:
+    from scrappie_tpu.serve import serve
+
+    serve(args.host, args.port, model=args.model,
+          max_batch_reads=args.max_batch_reads, max_wait_ms=args.max_wait_ms,
+          batch_size=args.batch, chunk_len=args.chunk_len,
+          overlap=args.overlap)
+    return 0
+
+
 def main(argv=None) -> int:
     from scrappie_tpu.utils.platform import apply_platform_override
 
@@ -450,6 +476,7 @@ def main(argv=None) -> int:
         "mappy": main_mappy,
         "seqmappy": main_seqmappy,
         "event_table": main_event_table,
+        "serve": main_serve,
     }[args.command](args)
 
 

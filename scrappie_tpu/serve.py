@@ -1,0 +1,199 @@
+"""Dynamic-batching basecall serving.
+
+The production-serving layer the reference never had — its serving
+story is a shell fan-out (`find … | parallel -P N scrappie raw`,
+ref README.md:81).  TPU throughput comes from batching, so a server
+must coalesce requests from many independent clients into device
+batches: `BasecallService` queues incoming reads and hands groups of
+them to the batch engine (`parallel/runner.BasecallEngine`), bounding
+added latency with `max_wait_ms`.
+
+Two surfaces:
+  - in-process: `BasecallService.submit(signal) -> concurrent Future`
+    (thread-safe; the engine runs on one worker thread, which is also
+    what JAX wants — a single dispatch thread per process);
+  - network: `make_server()` / `scrappie_tpu serve` — newline-delimited
+    JSON over TCP.
+
+Wire protocol (one JSON object per line, UTF-8):
+  request  {"id": "...", "signal": [f32, ...]}            or
+           {"id": "...", "signal_b64": "<base64 f32 LE>"}
+           optional: "opts": {basecall_signals kwargs: local_pen, ...}
+  response {"id": "...", "sequence": "ACGT...", "score": -12.3,
+            "nblock": 123, "nsample": 61500}               or
+           {"id": "...", "error": "..."}
+
+Reads sent on different connections batch together; responses on one
+connection come back in request order.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import queue
+import socketserver
+import threading
+import time
+from concurrent.futures import Future
+
+import numpy as np
+
+from scrappie_tpu.types import RawSignal
+
+
+class BasecallService:
+    """Thread-safe dynamic-batching front of a BasecallEngine.
+
+    Requests wait at most `max_wait_ms` for co-batched company; batches
+    are capped at `max_batch_reads`.  Requests with identical decode
+    options batch together; differing options split the batch (each
+    engine call has one option set).
+    """
+
+    def __init__(self, model: str = "rgrgr_r94", *, engine=None,
+                 max_batch_reads: int = 16, max_wait_ms: float = 25.0,
+                 **engine_kwargs):
+        if engine is None:
+            from scrappie_tpu.parallel.runner import BasecallEngine
+
+            engine = BasecallEngine(model, **engine_kwargs)
+        self.engine = engine
+        self.max_batch_reads = max_batch_reads
+        self.max_wait_s = max_wait_ms / 1e3
+        self.stats = {"requests": 0, "batches": 0, "engine_calls": 0}
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._worker_thread = threading.Thread(
+            target=self._worker, name="basecall-service", daemon=True)
+        self._worker_thread.start()
+
+    # --------------------------------------------------------------- API
+
+    def submit(self, signal, uuid: str | None = None, **opts) -> Future:
+        """Queue one read; resolves to a runner.ReadResult."""
+        if self._stop.is_set():
+            raise RuntimeError("service is closed")
+        sig = np.asarray(signal, dtype=np.float32).ravel()
+        fut: Future = Future()
+        key = tuple(sorted(opts.items()))
+        self._q.put((sig, uuid, key, opts, fut))
+        self.stats["requests"] += 1
+        return fut
+
+    def basecall(self, signal, uuid: str | None = None,
+                 timeout: float | None = None, **opts):
+        """Blocking convenience wrapper around submit()."""
+        return self.submit(signal, uuid, **opts).result(timeout)
+
+    def close(self) -> None:
+        self._stop.set()
+        self._worker_thread.join(timeout=30)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------ worker
+
+    def _worker(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(batch) < self.max_batch_reads:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self.stats["batches"] += 1
+            # one engine call per distinct option set, arrival order kept
+            groups: dict[tuple, list] = {}
+            for req in batch:
+                groups.setdefault(req[2], []).append(req)
+            for reqs in groups.values():
+                signals = [RawSignal(sig, uuid=uuid) for sig, uuid, *_ in reqs]
+                opts = reqs[0][3]
+                self.stats["engine_calls"] += 1
+                try:
+                    results = self.engine.basecall_signals(signals, **opts)
+                except Exception as e:  # noqa: BLE001 — fault isolation
+                    for *_, fut in reqs:
+                        if not fut.cancelled():
+                            fut.set_exception(e)
+                    continue
+                for (*_, fut), res in zip(reqs, results):
+                    if not fut.cancelled():
+                        fut.set_result(res)
+        # drain: fail anything still queued so clients never hang
+        while True:
+            try:
+                *_, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.cancelled():
+                fut.set_exception(RuntimeError("service closed"))
+
+
+# ------------------------------------------------------------------ TCP
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):  # one JSON request per line; responses in order
+        for line in self.rfile:
+            line = line.strip()
+            if not line:
+                continue
+            rid = None
+            try:
+                req = json.loads(line)
+                rid = req.get("id")
+                if "signal_b64" in req:
+                    sig = np.frombuffer(
+                        base64.b64decode(req["signal_b64"]), dtype="<f4")
+                else:
+                    sig = np.asarray(req["signal"], dtype=np.float32)
+                opts = req.get("opts", {})
+                res = self.server.service.basecall(sig, uuid=rid, **opts)
+                resp = {"id": rid, "sequence": res.sequence,
+                        "score": None if res.score != res.score else res.score,
+                        "nblock": res.nblock, "nsample": res.nsample}
+            except Exception as e:  # noqa: BLE001 — per-request isolation
+                resp = {"id": rid, "error": str(e)}
+            self.wfile.write((json.dumps(resp) + "\n").encode())
+            self.wfile.flush()
+
+
+class _Server(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+def make_server(host: str = "127.0.0.1", port: int = 0,
+                service: BasecallService | None = None, **service_kwargs):
+    """Build (but do not start) the TCP server; `.server_address` has
+    the bound port.  Caller owns `server.service` (close() it)."""
+    service = service or BasecallService(**service_kwargs)
+    server = _Server((host, port), _Handler)
+    server.service = service
+    return server
+
+
+def serve(host: str = "127.0.0.1", port: int = 7777, **service_kwargs) -> None:
+    """Run the TCP basecall server until interrupted."""
+    server = make_server(host, port, **service_kwargs)
+    from scrappie_tpu.utils.tracing import log
+
+    log("info", "serving", host=host, port=server.server_address[1])
+    try:
+        server.serve_forever()
+    finally:
+        server.service.close()
+        server.server_close()

@@ -1,0 +1,123 @@
+"""Dynamic-batching basecall service + TCP server (scrappie_tpu/serve.py).
+
+Checks: concurrent submissions batch into few engine calls and return
+the same sequences as a direct engine call; differing decode options
+split batches; the TCP wire protocol round-trips reads from multiple
+connections; closing fails queued work instead of hanging clients.
+"""
+
+import json
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from scrappie_tpu.serve import BasecallService, make_server
+
+
+@pytest.fixture(scope="module")
+def sim_reads():
+    from scrappie_tpu.train.simulate import SquiggleSimulator
+
+    sim = SquiggleSimulator(seed=21)
+    reads = []
+    for n in (300, 400, 350, 320):
+        sig, bases, _ = sim.simulate_read(n)
+        reads.append(np.asarray(sig, np.float32))
+    return reads
+
+
+def _engine_direct(reads, **opts):
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.types import RawSignal
+
+    eng = BasecallEngine("rgrgr_r94", chunk_len=2000, overlap=400,
+                         batch_size=4)
+    return eng.basecall_signals(
+        [RawSignal(r, uuid=f"r{i}") for i, r in enumerate(reads)], **opts)
+
+
+def test_service_batches_and_matches_engine(sim_reads):
+    direct = _engine_direct(sim_reads)
+    with BasecallService("rgrgr_r94", chunk_len=2000, overlap=400,
+                         batch_size=4, max_wait_ms=300.0) as svc:
+        futs = [svc.submit(r, uuid=f"r{i}") for i, r in enumerate(sim_reads)]
+        results = [f.result(timeout=600) for f in futs]
+        # all four submitted inside the wait window -> one engine call
+        assert svc.stats["engine_calls"] <= 2
+    for got, want in zip(results, direct):
+        assert got.sequence == want.sequence
+        assert got.sequence
+
+
+def test_service_splits_on_options(sim_reads):
+    with BasecallService("rgrgr_r94", chunk_len=2000, overlap=400,
+                         batch_size=4, max_wait_ms=300.0) as svc:
+        f1 = svc.submit(sim_reads[0], uuid="a")
+        f2 = svc.submit(sim_reads[1], uuid="b", local_pen=9.0)
+        r1, r2 = f1.result(600), f2.result(600)
+        assert svc.stats["engine_calls"] == 2  # different opts: two calls
+    assert r1.sequence and r2.sequence
+
+
+def test_service_close_fails_queued():
+    svc = BasecallService("rgrgr_r94", chunk_len=2000, overlap=400,
+                          batch_size=4)
+    svc.close()
+    with pytest.raises(RuntimeError):
+        svc.submit(np.zeros(100, np.float32))
+
+
+def test_tcp_server_roundtrip(sim_reads):
+    direct = _engine_direct(sim_reads[:2])
+    server = make_server(port=0, model="rgrgr_r94", chunk_len=2000,
+                         overlap=400, batch_size=4, max_wait_ms=200.0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def client(i):
+            with socket.create_connection(("127.0.0.1", port), timeout=600) as s:
+                req = {"id": f"r{i}", "signal": sim_reads[i].tolist()}
+                s.sendall((json.dumps(req) + "\n").encode())
+                buf = b""
+                while not buf.endswith(b"\n"):
+                    chunk = s.recv(1 << 20)
+                    if not chunk:
+                        break
+                    buf += chunk
+            return json.loads(buf)
+
+        out = [None, None]
+        threads = [threading.Thread(target=lambda i=i: out.__setitem__(i, client(i)))
+                   for i in range(2)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        for i in range(2):
+            assert out[i] is not None, "client timed out"
+            assert out[i]["id"] == f"r{i}"
+            assert out[i]["sequence"] == direct[i].sequence
+    finally:
+        server.shutdown()
+        server.service.close()
+        server.server_close()
+
+
+def test_tcp_server_bad_request():
+    server = make_server(port=0, model="rgrgr_r94", chunk_len=2000,
+                         overlap=400, batch_size=4)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=60) as s:
+            s.sendall(b'{"id": "x", "signal": "not-a-list"}\n')
+            resp = json.loads(s.makefile().readline())
+        assert resp["id"] == "x" and "error" in resp
+    finally:
+        server.shutdown()
+        server.service.close()
+        server.server_close()
