@@ -30,9 +30,11 @@ calibrated once from the first `min(calib_samples, chunk_len)` samples
 — the behaviour of a live channel calibrated on its opening window.
 Pass `normalise=False` to feed pre-normalised signal.
 
-For many concurrent streams, batch chunks across reads with the
-serving layer (scrappie_tpu/serve.py) instead of one StreamingBasecaller
-per channel.
+For many concurrent channels, `StreamingBatcher` coalesces ready
+chunks across channels into [batch_size, chunk_len] device batches —
+the TPU-shaped way to run live basecalling (a solo stream decodes at
+batch 1 and wastes the MXU).  Per-channel output is byte-identical to
+a solo StreamingBasecaller with the same parameters.
 """
 
 from __future__ import annotations
@@ -49,6 +51,33 @@ NBASE = 4
 _CRF_BASES = np.array(list("ACGT"))
 
 
+def _build_posterior(model: str, min_prob: float, tempW: float, tempb: float):
+    """Jitted posterior/transition forward for one model (shared by a
+    solo stream, or once across a whole StreamingBatcher)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from scrappie_tpu.models import forward, registry
+
+    spec = RAW_MODELS[model]
+    params = {k: jnp.asarray(v)
+              for k, v in registry.load_params(model).items()}
+    kwargs = dict(stride=spec.stride, min_prob=min_prob, tempW=tempW,
+                  tempb=tempb, return_log=True)
+    if spec.kind == "rgrgr":
+        fn = functools.partial(forward.rgrgr_posterior,
+                               conv_activation=spec.conv_activation, **kwargs)
+    elif spec.kind == "rnnrf":
+        fn = functools.partial(forward.rnnrf_transitions,
+                               conv_activation=spec.conv_activation,
+                               stride=spec.stride)
+    else:
+        fn = functools.partial(forward.raw_posterior, **kwargs)
+    return params, jax.jit(lambda p, x: fn(p, x))
+
+
 class StreamingBasecaller:
     """Incremental basecaller for one read/channel.
 
@@ -56,6 +85,12 @@ class StreamingBasecaller:
     flush() -> str         decode + commit the tail; stream is finished
     .sequence              all bases committed so far
     .score                 kept-block-weighted decode score so far
+
+    decode_fn: optional injected decoder mapping a normalised
+    [chunk_len] float32 window to (per-block emissions [nblock_chunk],
+    score) — used by StreamingBatcher to route chunk decodes through
+    one shared batched program.  Without it the stream builds its own
+    batch-1 jit on first use.
     """
 
     def __init__(self, model: str = "rgrgr_r94", chunk_len: int = 10000,
@@ -63,14 +98,7 @@ class StreamingBasecaller:
                  calib_samples: int = 8000, min_prob: float = 1e-5,
                  tempW: float = 1.0, tempb: float = 1.0, stay_pen: float = 0.0,
                  skip_pen: float = 0.0, local_pen: float = 2.0,
-                 use_slip: bool = False):
-        import functools
-
-        import jax
-        import jax.numpy as jnp
-
-        from scrappie_tpu.models import forward, registry
-
+                 use_slip: bool = False, decode_fn=None):
         self.model = model
         self.spec = RAW_MODELS[model]
         stride = self.spec.stride
@@ -84,31 +112,18 @@ class StreamingBasecaller:
         self.calib_samples = calib_samples
         self._decode_args = (float(stay_pen), float(skip_pen),
                              float(local_pen), bool(use_slip))
-
-        params = registry.load_params(model)
-        self.params = {k: jnp.asarray(v) for k, v in params.items()}
-        kwargs = dict(stride=stride, min_prob=min_prob, tempW=tempW,
-                      tempb=tempb, return_log=True)
-        if self.spec.kind == "rgrgr":
-            fn = functools.partial(forward.rgrgr_posterior,
-                                   conv_activation=self.spec.conv_activation,
-                                   **kwargs)
-        elif self.spec.kind == "rnnrf":
-            fn = functools.partial(forward.rnnrf_transitions,
-                                   conv_activation=self.spec.conv_activation,
-                                   stride=stride)
-        else:
-            fn = functools.partial(forward.raw_posterior, **kwargs)
-        self._posterior = jax.jit(lambda p, x: fn(p, x))
+        self._posterior_opts = (float(min_prob), float(tempW), float(tempb))
+        self._decode_fn = decode_fn
+        self._own_program = None  # lazy (params, jit) when decode_fn is None
 
         # stream state
         self._parts: list[np.ndarray] = []   # raw samples from _base_off on
-        self._buf_len = 0                    # samples held in _parts
         self._base_off = 0                   # samples dropped from the front
         self._nfed = 0                       # total samples ever fed
         self._next_start = 0                 # sample start of the next chunk
+        self._reserved = 0                   # chunks reserved, not committed
         self._committed_hi = 0               # global blocks committed
-        self._pending = None                 # (emissions, f_blk) last chunk
+        self._last_chunk = None              # (emissions, f_blk, score)
         self._last_kmer: int | None = None   # kmer context across commits
         self._med = self._mad = None
         self._seq_parts: list[str] = []
@@ -150,7 +165,6 @@ class StreamingBasecaller:
         if drop > 0:
             self._parts = [buf[drop:]]
             self._base_off = keep_from
-            self._buf_len = len(self._parts[0])
 
     def _maybe_calibrate(self, force: bool = False) -> None:
         if not self.normalise or self._med is not None:
@@ -172,15 +186,40 @@ class StreamingBasecaller:
 
     # ------------------------------------------------------------- decode
 
-    def _decode_chunk(self, start: int) -> tuple[np.ndarray, float]:
-        """Decode the chunk at sample `start`; returns (per-block
-        emissions [nblock_chunk], chunk score)."""
-        import jax.numpy as jnp
+    def _chunk_ready(self) -> bool:
+        return (not self._done
+                and self._nfed >= self._next_start + self.chunk_len)
 
+    def _chunk_input(self, start: int) -> np.ndarray:
+        """Normalised [chunk_len] window for the chunk at `start`."""
+        self._maybe_calibrate(force=True)
         x = self._window(start, self.chunk_len)
         if self.normalise:
             x = (x - self._med) / self._mad
-        lp = self._posterior(self.params, jnp.asarray(x, jnp.float32)[None, :, None])
+        return np.asarray(x, np.float32)
+
+    def _reserve_chunk(self) -> tuple[int, np.ndarray]:
+        """Claim the next ready chunk: returns (start, normalised input)
+        and advances the chunk cursor.  Chunks MUST then be committed in
+        reservation order (enforced by _commit_chunk's bookkeeping)."""
+        start = self._next_start
+        x = self._chunk_input(start)
+        self._next_start += self.hop
+        self._reserved += 1
+        self._compact()
+        return start, x
+
+    def _decode(self, x: np.ndarray) -> tuple[np.ndarray, float]:
+        """(per-block emissions [nblock_chunk], score) for one window."""
+        if self._decode_fn is not None:
+            return self._decode_fn(x)
+        import jax.numpy as jnp
+
+        if self._own_program is None:
+            self._own_program = _build_posterior(self.model,
+                                                 *self._posterior_opts)
+        params, posterior = self._own_program
+        lp = posterior(params, jnp.asarray(x)[None, :, None])
         if self.spec.kind == "rnnrf":
             scores, paths = decode_crf(np.asarray(lp))
             return np.asarray(paths)[0][:-1], float(scores[0])
@@ -206,8 +245,8 @@ class StreamingBasecaller:
         self._last_kmer = int(seg[nonstay][-1])
         return out
 
-    def _commit(self, emissions: np.ndarray, f_blk: int, lo: int, hi: int,
-                score: float) -> str:
+    def _commit_range(self, emissions: np.ndarray, f_blk: int, lo: int,
+                      hi: int, score: float) -> str:
         """Commit global blocks [lo, hi) from a chunk starting at block
         f_blk; returns the new bases."""
         if hi <= lo:
@@ -217,6 +256,19 @@ class StreamingBasecaller:
         self._score += score * (hi - lo) / max(len(emissions), 1)
         if bases:
             self._seq_parts.append(bases)
+        return bases
+
+    def _commit_chunk(self, start: int, emissions: np.ndarray,
+                      score: float) -> str:
+        """Commit a reserved chunk's decode (in reservation order)."""
+        stride = self.spec.stride
+        f_blk = start // stride
+        hi = f_blk + self.hop // stride + (self.overlap // stride) // 2
+        lo = 0 if start == 0 else self._committed_hi
+        bases = self._commit_range(np.asarray(emissions), f_blk, lo, hi,
+                                   float(score))
+        self._last_chunk = (np.asarray(emissions), f_blk, float(score))
+        self._reserved -= 1
         return bases
 
     # ------------------------------------------------------------- public
@@ -233,37 +285,30 @@ class StreamingBasecaller:
     def nsample(self) -> int:
         return self._nfed
 
-    def feed(self, samples) -> str:
+    def append_samples(self, samples) -> None:
+        """Buffer samples without decoding (StreamingBatcher ingest)."""
         if self._done:
             raise RuntimeError("stream already flushed")
         samples = np.asarray(samples, dtype=np.float32).ravel()
         if len(samples):
             self._parts.append(samples)
-            self._buf_len += len(samples)
             self._nfed += len(samples)
+
+    def feed(self, samples) -> str:
+        self.append_samples(samples)
         out: list[str] = []
-        stride = self.spec.stride
-        ov_blk = self.overlap // stride
-        hop_blk = self.hop // stride
-        while self._nfed >= self._next_start + self.chunk_len:
-            self._maybe_calibrate(force=True)
-            start = self._next_start
-            f_blk = start // stride
-            emissions, score = self._decode_chunk(start)
-            hi = f_blk + hop_blk + ov_blk // 2  # midpoint with the NEXT chunk
-            if start == 0:
-                lo = 0
-            else:
-                lo = self._committed_hi
-            out.append(self._commit(emissions, f_blk, lo, hi, score))
-            self._pending = (emissions, f_blk, score)
-            self._next_start += self.hop
-            self._compact()
+        while self._chunk_ready():
+            start, x = self._reserve_chunk()
+            emissions, score = self._decode(x)
+            out.append(self._commit_chunk(start, emissions, score))
         return "".join(out)
 
     def flush(self) -> str:
         if self._done:
             raise RuntimeError("stream already flushed")
+        if self._reserved:
+            raise RuntimeError("reserved chunks not yet committed "
+                               "(StreamingBatcher must poll() before flush)")
         self._done = True
         nsample = self._nfed
         if nsample == 0:
@@ -273,20 +318,150 @@ class StreamingBasecaller:
         self._maybe_calibrate(force=True)
         if self._committed_hi >= total:
             return ""
-        if self._pending is None:
+        if self._last_chunk is None:
             # short read: a single (reflect-padded) chunk covers it all
-            emissions, score = self._decode_chunk(0)
-            return self._commit(emissions, 0, 0, total, score)
-        emissions, prev_f_blk, prev_score = self._pending
+            emissions, score = self._decode(self._chunk_input(0))
+            return self._commit_range(np.asarray(emissions), 0, 0, total,
+                                      score)
+        emissions, prev_f_blk, prev_score = self._last_chunk
         prev_start = self._next_start - self.hop
         if nsample <= prev_start + self.chunk_len:
             # the last decoded chunk already covers the tail
-            return self._commit(emissions, prev_f_blk, self._committed_hi,
-                                total, prev_score)
+            return self._commit_range(emissions, prev_f_blk,
+                                      self._committed_hi, total, prev_score)
         # right-aligned final chunk over the tail (ceil-stride-aligned,
         # like chunk.plan_chunks' last chunk)
         f = max(0, -(-(nsample - self.chunk_len) // stride) * stride)
         f = min(f, prev_start + self.hop)
-        emissions, score = self._decode_chunk(f)
-        return self._commit(emissions, f // stride, self._committed_hi, total,
-                            score)
+        emissions, score = self._decode(self._chunk_input(f))
+        return self._commit_range(np.asarray(emissions), f // stride,
+                                  self._committed_hi, total, score)
+
+
+class StreamingBatcher:
+    """Live basecalling of many channels with batched device work.
+
+    Ready chunks from all channels are queued and decoded in
+    [batch_size, chunk_len] groups through ONE shared compiled program
+    (full batches are decoded eagerly inside feed(); poll() forces the
+    remainder — call it on a latency deadline).  Per-channel results
+    are byte-identical to a solo StreamingBasecaller with the same
+    parameters (tests/test_streaming.py).
+
+    feed(key, samples) -> new bases for THAT channel; bases decoded for
+    other channels in the same batch are buffered and returned by their
+    next feed()/poll()/flush()/collect() call.
+    """
+
+    def __init__(self, model: str = "rgrgr_r94", chunk_len: int = 10000,
+                 overlap: int = 1000, batch_size: int = 8, *,
+                 min_prob: float = 1e-5, tempW: float = 1.0,
+                 tempb: float = 1.0, stay_pen: float = 0.0,
+                 skip_pen: float = 0.0, local_pen: float = 2.0,
+                 use_slip: bool = False, **stream_kwargs):
+        self.model = model
+        self.spec = RAW_MODELS[model]
+        self.chunk_len, self.overlap = chunk_len, overlap
+        self.batch_size = batch_size
+        self._decode_args = (float(stay_pen), float(skip_pen),
+                             float(local_pen), bool(use_slip))
+        self._params, self._posterior = _build_posterior(model, min_prob,
+                                                         tempW, tempb)
+        self._stream_kwargs = dict(stream_kwargs, min_prob=min_prob,
+                                   tempW=tempW, tempb=tempb,
+                                   stay_pen=stay_pen, skip_pen=skip_pen,
+                                   local_pen=local_pen, use_slip=use_slip)
+        self._streams: dict = {}
+        self._queue: list[tuple] = []        # (key, start, window) FIFO
+        self._outbuf: dict[object, list[str]] = {}
+
+    # ------------------------------------------------------------ streams
+
+    def add_stream(self, key, **kwargs) -> StreamingBasecaller:
+        if key in self._streams:
+            raise KeyError(f"stream {key!r} already exists")
+        kw = {**self._stream_kwargs, **kwargs}
+        sb = StreamingBasecaller(self.model, self.chunk_len, self.overlap,
+                                 decode_fn=self._decode_one, **kw)
+        self._streams[key] = sb
+        self._outbuf[key] = []
+        return sb
+
+    def stream(self, key) -> StreamingBasecaller:
+        return self._streams[key]
+
+    # ------------------------------------------------------------ decode
+
+    def _decode_batch_input(self, xs: np.ndarray):
+        """[B<=batch_size, chunk_len] -> (emissions [B, nb], scores [B]);
+        pads to batch_size so the shared program compiles once."""
+        import jax.numpy as jnp
+
+        n = len(xs)
+        if n < self.batch_size:
+            xs = np.concatenate(
+                [xs, np.zeros((self.batch_size - n, self.chunk_len),
+                              np.float32)])
+        lp = self._posterior(self._params, jnp.asarray(xs)[..., None])
+        if self.spec.kind == "rnnrf":
+            scores, paths = decode_crf(np.asarray(lp))
+            return np.asarray(paths)[:n, :-1], np.asarray(scores)[:n]
+        scores, paths = viterbi_decode_batch(lp, *self._decode_args)
+        return np.asarray(paths)[:n, 1:], np.asarray(scores)[:n]
+
+    def _decode_one(self, x: np.ndarray):
+        """decode_fn for member streams (flush-time tail chunks): one
+        window through the shared batched program."""
+        emis, scores = self._decode_batch_input(x[None])
+        return emis[0], float(scores[0])
+
+    def _run_queue(self, everything: bool) -> None:
+        while (len(self._queue) >= self.batch_size
+               or (everything and self._queue)):
+            group = self._queue[: self.batch_size]
+            del self._queue[: len(group)]
+            xs = np.stack([w for _, _, w in group])
+            emis, scores = self._decode_batch_input(xs)
+            for (key, start, _), e, s in zip(group, emis, scores):
+                bases = self._streams[key]._commit_chunk(start, e, float(s))
+                if bases:
+                    self._outbuf[key].append(bases)
+
+    def collect(self, key) -> str:
+        """Bases decoded for `key` since its last feed/poll/collect."""
+        out = "".join(self._outbuf[key])
+        self._outbuf[key].clear()
+        return out
+
+    # ------------------------------------------------------------ public
+
+    def feed(self, key, samples) -> str:
+        """Buffer samples for one channel; decode any full batches; new
+        bases for this channel (other channels' bases are buffered)."""
+        sb = self._streams[key]
+        sb.append_samples(samples)
+        while sb._chunk_ready():
+            start, x = sb._reserve_chunk()
+            self._queue.append((key, start, x))
+        self._run_queue(everything=False)
+        return self.collect(key)
+
+    def poll(self) -> dict:
+        """Force-decode all queued chunks (latency deadline); returns
+        {key: new bases} for every channel that gained bases."""
+        self._run_queue(everything=True)
+        out = {k: self.collect(k) for k in self._outbuf}
+        return {k: v for k, v in out.items() if v}
+
+    def flush(self, key) -> str:
+        """Finish one channel: decode its queued chunks, then its tail.
+        Returns ALL remaining bases for the channel."""
+        mine = [q for q in self._queue if q[0] == key]
+        if mine:
+            # decode everything queued up to and including this
+            # channel's chunks (order within a channel must hold)
+            self._run_queue(everything=True)
+        tail = self._streams[key].flush()
+        if tail:
+            self._outbuf[key].append(tail)
+        return self.collect(key)

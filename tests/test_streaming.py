@@ -110,6 +110,59 @@ def test_empty_stream():
         sb.feed(np.zeros(5, np.float32))
 
 
+def test_batcher_matches_solo_streams():
+    """N channels through StreamingBatcher == each channel solo, exactly
+    (shared [B, chunk_len] program vs per-stream batch-1 decodes)."""
+    from scrappie_tpu.parallel.streaming import StreamingBatcher
+
+    sigs = [_sim_read(nbase=n, seed=s)[0] for n, s in
+            [(500, 1), (620, 2), (430, 4)]]
+    solo = []
+    for sig in sigs:
+        sb, _ = _stream(sig, [len(sig)])
+        solo.append(sb.sequence)
+
+    bat = StreamingBatcher("rgrgr_r94", CHUNK, OV, batch_size=4)
+    for i in range(len(sigs)):
+        bat.add_stream(i)
+    # interleave feeds in uneven slices across channels
+    rng = np.random.default_rng(3)
+    offs = [0] * len(sigs)
+    got = [""] * len(sigs)
+    while any(offs[i] < len(sigs[i]) for i in range(len(sigs))):
+        i = int(rng.integers(0, len(sigs)))
+        if offs[i] >= len(sigs[i]):
+            continue
+        n = int(rng.integers(200, 1500))
+        got[i] += bat.feed(i, sigs[i][offs[i] : offs[i] + n])
+        offs[i] += n
+    for k, v in bat.poll().items():
+        got[k] += v
+    for i in range(len(sigs)):
+        got[i] += bat.flush(i)
+    assert got == solo
+    assert all(got)
+
+
+def test_batcher_flush_with_queued_chunks():
+    """flush() on one channel while others still have queued chunks."""
+    from scrappie_tpu.parallel.streaming import StreamingBatcher
+
+    sig_a, _ = _sim_read(nbase=500, seed=13)
+    sig_b, _ = _sim_read(nbase=500, seed=14)
+    bat = StreamingBatcher("rgrgr_r94", CHUNK, OV, batch_size=8)
+    bat.add_stream("a")
+    bat.add_stream("b")
+    out_a = bat.feed("a", sig_a)   # queues chunks; batch of 8 never fills
+    out_b = bat.feed("b", sig_b)
+    out_a += bat.flush("a")        # must decode a's queued chunks first
+    out_b += bat.flush("b")
+    solo_a, _ = _stream(sig_a, [len(sig_a)])
+    solo_b, _ = _stream(sig_b, [len(sig_b)])
+    assert out_a == solo_a.sequence
+    assert out_b == solo_b.sequence
+
+
 def test_crf_streaming():
     sig, truth = _sim_read(nbase=500, seed=9)
     del truth
