@@ -55,8 +55,20 @@ def test_version():
 def test_help():
     r = run_cli("help")
     assert r.returncode == 0
-    for cmd in ("raw", "events", "squiggle", "mappy", "seqmappy", "event_table"):
+    for cmd in ("raw", "events", "squiggle", "mappy", "seqmappy",
+                "event_table", "serve"):
         assert cmd in r.stdout
+
+
+def test_serve_parser():
+    """`serve` subcommand parses with defaults (the server itself is
+    exercised in tests/test_serve.py via make_server)."""
+    from scrappie_tpu.cli.main import build_parser
+
+    args = build_parser().parse_args(["serve", "--port", "0",
+                                      "--model", "rgrgr_r94"])
+    assert args.command == "serve" and args.port == 0
+    assert args.max_batch_reads == 16 and args.max_wait_ms == 25.0
 
 
 def test_licence():
