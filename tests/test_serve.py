@@ -69,6 +69,21 @@ def test_service_close_fails_queued():
         svc.submit(np.zeros(100, np.float32))
 
 
+def test_service_poisoned_read_isolated(sim_reads):
+    """A bad read co-batched with good ones fails alone: the engine's
+    per-read isolation (ref src/scrappie_raw.c:397-400) carries through
+    the service — good requests still resolve with sequences."""
+    bad = np.full(4000, np.nan, np.float32)
+    with BasecallService("rgrgr_r94", chunk_len=2000, overlap=400,
+                         batch_size=4, max_wait_ms=300.0) as svc:
+        futs = [svc.submit(sim_reads[0], uuid="good0"),
+                svc.submit(bad, uuid="bad"),
+                svc.submit(sim_reads[1], uuid="good1")]
+        good0, badr, good1 = [f.result(timeout=600) for f in futs]
+    assert good0.sequence and good1.sequence
+    assert badr.sequence is None  # isolated failure, not an exception
+
+
 def test_tcp_server_roundtrip(sim_reads):
     direct = _engine_direct(sim_reads[:2])
     server = make_server(port=0, model="rgrgr_r94", chunk_len=2000,
