@@ -89,6 +89,9 @@ class BasecallService:
     def close(self) -> None:
         self._stop.set()
         self._worker_thread.join(timeout=30)
+        # a submit() racing close() can enqueue after the worker's own
+        # drain; fail those too so no client ever hangs
+        self._drain_failed()
 
     def __enter__(self):
         return self
@@ -134,11 +137,14 @@ class BasecallService:
                     if not fut.cancelled():
                         fut.set_result(res)
         # drain: fail anything still queued so clients never hang
+        self._drain_failed()
+
+    def _drain_failed(self) -> None:
         while True:
             try:
                 *_, fut = self._q.get_nowait()
             except queue.Empty:
-                break
+                return
             if not fut.cancelled():
                 fut.set_exception(RuntimeError("service closed"))
 
