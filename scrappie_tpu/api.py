@@ -157,9 +157,9 @@ def _decode_post_transducer(post: Posterior, stay_pen=0.0, skip_pen=0.0,
     return seq, float(score), pos
 
 
-def _decode_post_crf(post: Posterior):
+def _decode_post_crf(post: Posterior, emit_bias: float = 0.0):
     nblock, _ = post.shape
-    score, path = decode_crf(post.data())
+    score, path = decode_crf(post.data(), emit_bias=emit_bias)
     pos = np.zeros(nblock + 1, dtype=np.int64)
     seq = crfpath_to_basecall(path[: nblock + 1], pos)
     return seq, float(score), pos

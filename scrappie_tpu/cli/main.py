@@ -95,6 +95,11 @@ def build_parser():
     raw.add_argument("--homopolymer", "-H", default="mean",
                      choices=["nochange", "mean"],
                      help="Homopolymer run calc. (not implemented for CRF)")
+    raw.add_argument("--crf-emit-bias", type=float, default=0.0,
+                     help="CRF decode calibration: additive bias on "
+                          "transitions into emitting states (rnnrf only; "
+                          "negative = fewer calls). Temperature has no "
+                          "effect on CRF Viterbi, so this is the knob.")
     raw.add_argument("--chunk-len", type=int, default=10000,
                      help="Chunk length in samples (TPU batching)")
     raw.add_argument("--overlap", type=int, default=1000,
@@ -213,6 +218,7 @@ def main_raw(args) -> int:
             stay_pen=args.stay_pen, skip_pen=args.skip_pen, local_pen=args.local_pen,
             use_slip=args.use_slip,
             homopolymer=None if args.model == "rnnrf_r94" else args.homopolymer,
+            crf_emit_bias=args.crf_emit_bias,
         )
     if args.stage_report:
         import json as _json

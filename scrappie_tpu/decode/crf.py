@@ -85,12 +85,22 @@ def _crf_viterbi_assoc(trans):
     return score, path
 
 
-def decode_crf(trans, impl: str | None = None):
+def decode_crf(trans, impl: str | None = None, emit_bias: float = 0.0):
     """Viterbi decode of CRF transitions (ref decode_crf, src/decode.c:836-893).
 
     trans [T, ns^2] or [B, T, ns^2] -> (score, path [.., T+1] int32).
     impl: 'scan' (sequential, reference semantics), 'assoc'
     (parallel-in-time associative scan), or None = assoc on TPU.
+
+    emit_bias: additive decode-time calibration on every transition
+    INTO an emitting state (entry [t, st1*ns+st2] with st1 < ns-1).
+    Viterbi is invariant to multiplicative temperature on a CRF (all
+    path scores scale together), so the calibration knob that actually
+    moves the decode — the analogue of the transducer's stay_pen and of
+    the reference's softmax-temperature rescaling
+    (misc/alter_temperature.py) — is this additive emit/stay prior;
+    negative values call fewer bases.  Default 0.0 = reference
+    semantics.
     """
     from scrappie_tpu import ops
 
@@ -98,6 +108,9 @@ def decode_crf(trans, impl: str | None = None):
     t = jnp.asarray(trans, dtype=jnp.float32)
     if squeeze:
         t = t[None]
+    if emit_bias:
+        ns = int(round(np.sqrt(t.shape[-1])))
+        t = t.at[..., : (ns - 1) * ns].add(jnp.float32(emit_bias))
     if impl is None:
         # assoc wins for small batches (the per-read decode case, ~4.6x
         # at B=1); the sequential scan amortises better at large B.

@@ -284,7 +284,8 @@ class BasecallEngine:
                 results[g] = (float(scores[j]), paths[j, : nb + 1].copy())
         return results
 
-    def _decode_crf_bucketed(self, transs: list[np.ndarray]):
+    def _decode_crf_bucketed(self, transs: list[np.ndarray],
+                             emit_bias: float = 0.0):
         """Batched CRF decode with neutral padding to bucketed lengths
         (identity-transition pad blocks add zero score; one compile per
         bucket instead of one per distinct read length)."""
@@ -300,7 +301,7 @@ class BasecallEngine:
             padded = np.stack(
                 [chunklib.neutral_pad_crf(transs[g], target) for g in group]
             )
-            scores, paths = decode_crf(padded)
+            scores, paths = decode_crf(padded, emit_bias=emit_bias)
             for j, g in enumerate(group):
                 nb = transs[g].shape[0]
                 results[g] = (float(scores[j]), paths[j, : nb + 1].copy())
@@ -310,8 +311,8 @@ class BasecallEngine:
                          trim_end=10, varseg_chunk=100, varseg_thresh=0.0,
                          stay_pen=0.0, skip_pen=0.0, local_pen=2.0,
                          use_slip=False,
-                         homopolymer: HomopolymerMode | str | None = None
-                         ) -> list[ReadResult]:
+                         homopolymer: HomopolymerMode | str | None = None,
+                         crf_emit_bias: float = 0.0) -> list[ReadResult]:
         # 1. host-side preprocess + chunk planning.  Per-read error
         # isolation: a failed read (bad data, injected chaos fault)
         # only warns and the batch continues, mirroring the reference
@@ -430,7 +431,7 @@ class BasecallEngine:
         results_map: dict[int, ReadResult] = {}
         with self.stage("decode"):
             if self.spec.kind == "rnnrf":
-                decoded = self._decode_crf_bucketed(logposts)
+                decoded = self._decode_crf_bucketed(logposts, crf_emit_bias)
             else:
                 decoded = self._decode_bucketed(logposts, stay_pen, skip_pen,
                                                 local_pen, use_slip)

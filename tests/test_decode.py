@@ -201,3 +201,26 @@ def test_ctc_remove_stays_and_repeats():
     seq = ctc_remove_stays_and_repeats(path)
     # repeated 0 after stay is NOT re-emitted (prev tracks emitted state)
     assert seq == "ACGT"
+
+
+def test_crf_emit_bias_plumbing_and_effect():
+    """decode_crf(trans, emit_bias=b) == decode_crf on manually biased
+    transitions (bias adds to every entry with to-state < blank), and a
+    strongly negative bias emits fewer bases."""
+    rng = np.random.default_rng(42)
+    trans = rng.normal(0.0, 1.5, size=(64, 25)).astype(np.float32)
+
+    s1, p1 = decode_crf(trans, emit_bias=-0.7)
+    manual = trans.copy()
+    manual[:, :20] -= 0.7
+    s2, p2 = decode_crf(manual)
+    assert np.allclose(s1, s2, rtol=1e-6)
+    assert np.array_equal(p1, p2)
+
+    seq0 = crfpath_to_basecall(decode_crf(trans)[1])
+    seqn = crfpath_to_basecall(decode_crf(trans, emit_bias=-4.0)[1])
+    assert len(seqn) < len(seq0)
+    # bias 0 is exactly the reference decode
+    s0a, p0a = decode_crf(trans)
+    s0b, p0b = decode_crf(trans, emit_bias=0.0)
+    assert s0a == s0b and np.array_equal(p0a, p0b)
