@@ -98,7 +98,8 @@ class StreamingBasecaller:
                  calib_samples: int = 8000, min_prob: float = 1e-5,
                  tempW: float = 1.0, tempb: float = 1.0, stay_pen: float = 0.0,
                  skip_pen: float = 0.0, local_pen: float = 2.0,
-                 use_slip: bool = False, decode_fn=None):
+                 use_slip: bool = False, decode_fn=None,
+                 trim_start: int = 0):
         self.model = model
         self.spec = RAW_MODELS[model]
         stride = self.spec.stride
@@ -115,6 +116,9 @@ class StreamingBasecaller:
         self._posterior_opts = (float(min_prob), float(tempW), float(tempb))
         self._decode_fn = decode_fn
         self._own_program = None  # lazy (params, jit) when decode_fn is None
+        # samples still to drop from the stream head (the engine's
+        # trim_start analogue; a live channel skips the adapter)
+        self._trim_left = int(trim_start)
 
         # stream state
         self._parts: list[np.ndarray] = []   # raw samples from _base_off on
@@ -290,6 +294,10 @@ class StreamingBasecaller:
         if self._done:
             raise RuntimeError("stream already flushed")
         samples = np.asarray(samples, dtype=np.float32).ravel()
+        if self._trim_left:
+            drop = min(self._trim_left, len(samples))
+            samples = samples[drop:]
+            self._trim_left -= drop
         if len(samples):
             self._parts.append(samples)
             self._nfed += len(samples)

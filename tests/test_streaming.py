@@ -175,3 +175,18 @@ def test_crf_streaming():
         sb2.feed(sig[i : i + 777])
     sb2.flush()
     assert sb1.sequence == sb2.sequence and len(sb1.sequence) > 50
+
+
+def test_streaming_trim_start():
+    """trim_start drops exactly N stream-head samples regardless of how
+    feeds are split (the engine's trim_start analogue)."""
+    sig, _ = _sim_read(nbase=600, seed=17)
+    ref = StreamingBasecaller("rgrgr_r94", CHUNK, OV)
+    ref.feed(sig[150:])
+    ref.flush()
+    tr = StreamingBasecaller("rgrgr_r94", CHUNK, OV, trim_start=150)
+    for i in range(0, len(sig), 97):
+        tr.feed(sig[i : i + 97])
+    tr.flush()
+    assert tr.sequence == ref.sequence
+    assert tr.nsample == len(sig) - 150
