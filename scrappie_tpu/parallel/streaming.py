@@ -435,6 +435,14 @@ class StreamingBatcher:
                 if bases:
                     self._outbuf[key].append(bases)
 
+    def decode_pending(self) -> None:
+        """Force-decode all queued chunks WITHOUT collecting: decoded
+        bases stay in each channel's buffer for its next
+        feed()/collect()/flush().  This is the latency-deadline hook
+        for a server poller (poll() would hand the bases to the poller
+        and they would never reach the client)."""
+        self._run_queue(everything=True)
+
     def collect(self, key) -> str:
         """Bases decoded for `key` since its last feed/poll/collect."""
         out = "".join(self._outbuf[key])
@@ -473,3 +481,11 @@ class StreamingBatcher:
         if tail:
             self._outbuf[key].append(tail)
         return self.collect(key)
+
+    def close_stream(self, key) -> None:
+        """Drop a channel's state (call after flush(); a live server
+        would otherwise accumulate finished channels forever).  Unflushed
+        queued chunks for the channel are discarded."""
+        self._queue = [q for q in self._queue if q[0] != key]
+        self._streams.pop(key, None)
+        self._outbuf.pop(key, None)

@@ -23,8 +23,16 @@ Wire protocol (one JSON object per line, UTF-8):
             "nblock": 123, "nsample": 61500}               or
            {"id": "...", "error": "..."}
 
-Reads sent on different connections batch together; responses on one
-connection come back in request order.
+Live channels (incremental signal, parallel/streaming.py) use the same
+connection with an "op" field; channel names are scoped per connection
+and ready chunks batch across ALL connections (`StreamingService`):
+  {"op": "open",  "channel": "c1", "opts": {...}}  -> {"open": true}
+  {"op": "feed",  "channel": "c1", "signal": [...]}-> {"bases": "..."}
+  {"op": "flush", "channel": "c1"}                 -> {"bases": "...", "final": true}
+A dropped connection discards its unflushed channels.
+
+Whole reads sent on different connections batch together; responses on
+one connection come back in request order.
 """
 
 from __future__ import annotations
@@ -149,46 +157,149 @@ class BasecallService:
                 fut.set_exception(RuntimeError("service closed"))
 
 
+class StreamingService:
+    """Thread-safe front of a StreamingBatcher for live channels.
+
+    Many connections feed signal increments for named channels; ready
+    chunks batch across ALL channels through one compiled program.  A
+    background poller bounds decode latency for stalled channels
+    (decoded bases are buffered until the channel's next request — the
+    protocol is request/response).
+    """
+
+    def __init__(self, model: str = "rgrgr_r94", *, chunk_len: int = 10000,
+                 overlap: int = 1000, batch_size: int = 8,
+                 poll_ms: float = 50.0, **stream_kwargs):
+        from scrappie_tpu.parallel.streaming import StreamingBatcher
+
+        self.batcher = StreamingBatcher(model, chunk_len, overlap,
+                                        batch_size=batch_size,
+                                        **stream_kwargs)
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._poll_s = poll_ms / 1e3
+        self._poller = threading.Thread(target=self._poll_loop,
+                                        name="stream-poller", daemon=True)
+        self._poller.start()
+
+    def _poll_loop(self) -> None:
+        while not self._stop.wait(self._poll_s):
+            with self._lock:
+                # decode_pending, NOT poll(): poll() collects the bases
+                # (they would never reach the client); decode_pending
+                # leaves them buffered for the channel's next request
+                self.batcher.decode_pending()
+
+    def open(self, key, **kwargs) -> None:
+        with self._lock:
+            self.batcher.add_stream(key, **kwargs)
+
+    def feed(self, key, samples) -> str:
+        with self._lock:
+            return self.batcher.feed(key, samples)
+
+    def flush(self, key) -> str:
+        with self._lock:
+            bases = self.batcher.flush(key)
+            self.batcher.close_stream(key)
+            return bases
+
+    def discard(self, key) -> None:
+        """Drop a channel without flushing (client went away)."""
+        with self._lock:
+            self.batcher.close_stream(key)
+
+    def close(self) -> None:
+        self._stop.set()
+        self._poller.join(timeout=10)
+
+
 # ------------------------------------------------------------------ TCP
+
+def _req_signal(req) -> np.ndarray:
+    if "signal_b64" in req:
+        return np.frombuffer(base64.b64decode(req["signal_b64"]),
+                             dtype="<f4")
+    return np.asarray(req["signal"], dtype=np.float32)
+
 
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self):  # one JSON request per line; responses in order
-        for line in self.rfile:
-            line = line.strip()
-            if not line:
-                continue
-            rid = None
-            try:
-                req = json.loads(line)
-                rid = req.get("id")
-                if "signal_b64" in req:
-                    sig = np.frombuffer(
-                        base64.b64decode(req["signal_b64"]), dtype="<f4")
-                else:
-                    sig = np.asarray(req["signal"], dtype=np.float32)
-                opts = req.get("opts", {})
-                res = self.server.service.basecall(sig, uuid=rid, **opts)
-                resp = {"id": rid, "sequence": res.sequence,
-                        "score": None if res.score != res.score else res.score,
-                        "nblock": res.nblock, "nsample": res.nsample}
-            except Exception as e:  # noqa: BLE001 — per-request isolation
-                resp = {"id": rid, "error": str(e)}
-            self.wfile.write((json.dumps(resp) + "\n").encode())
-            self.wfile.flush()
+        my_channels: set = set()
+        try:
+            for line in self.rfile:
+                line = line.strip()
+                if not line:
+                    continue
+                rid = None
+                try:
+                    req = json.loads(line)
+                    rid = req.get("id")
+                    op = req.get("op")
+                    if op is None:  # whole-read request
+                        res = self.server.service.basecall(
+                            _req_signal(req), uuid=rid, **req.get("opts", {}))
+                        resp = {"id": rid, "sequence": res.sequence,
+                                "score": (None if res.score != res.score
+                                          else res.score),
+                                "nblock": res.nblock, "nsample": res.nsample}
+                    else:  # live channel ops, namespaced per connection
+                        chan = req["channel"]
+                        key = (self.connection.fileno(), chan)
+                        ss = self.server.streaming_service()
+                        if op == "open":
+                            ss.open(key, **req.get("opts", {}))
+                            my_channels.add(key)
+                            resp = {"id": rid, "channel": chan, "open": True}
+                        elif op == "feed":
+                            bases = ss.feed(key, _req_signal(req))
+                            resp = {"id": rid, "channel": chan,
+                                    "bases": bases}
+                        elif op == "flush":
+                            bases = ss.flush(key)
+                            my_channels.discard(key)
+                            resp = {"id": rid, "channel": chan,
+                                    "bases": bases, "final": True}
+                        else:
+                            raise ValueError(f"unknown op {op!r}")
+                except Exception as e:  # noqa: BLE001 — per-request isolation
+                    resp = {"id": rid, "error": str(e)}
+                self.wfile.write((json.dumps(resp) + "\n").encode())
+                self.wfile.flush()
+        finally:
+            for key in my_channels:  # client went away mid-stream
+                self.server.streaming_service().discard(key)
 
 
 class _Server(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
+    def streaming_service(self) -> StreamingService:
+        """Lazy shared StreamingService (live channels batch ACROSS
+        connections through one program)."""
+        with self._ss_lock:
+            if self._ss is None:
+                self._ss = StreamingService(**self._ss_kwargs)
+            return self._ss
+
 
 def make_server(host: str = "127.0.0.1", port: int = 0,
-                service: BasecallService | None = None, **service_kwargs):
+                service: BasecallService | None = None,
+                streaming_kwargs: dict | None = None, **service_kwargs):
     """Build (but do not start) the TCP server; `.server_address` has
     the bound port.  Caller owns `server.service` (close() it)."""
     service = service or BasecallService(**service_kwargs)
     server = _Server((host, port), _Handler)
     server.service = service
+    server._ss = None
+    server._ss_lock = threading.Lock()
+    ss_kwargs = dict(streaming_kwargs or {})
+    ss_kwargs.setdefault("model", service_kwargs.get("model", "rgrgr_r94"))
+    for k in ("chunk_len", "overlap", "batch_size"):
+        if k in service_kwargs:
+            ss_kwargs.setdefault(k, service_kwargs[k])
+    server._ss_kwargs = ss_kwargs
     return server
 
 
@@ -202,4 +313,6 @@ def serve(host: str = "127.0.0.1", port: int = 7777, **service_kwargs) -> None:
         server.serve_forever()
     finally:
         server.service.close()
+        if server._ss is not None:
+            server._ss.close()
         server.server_close()

@@ -136,3 +136,58 @@ def test_tcp_server_bad_request():
         server.shutdown()
         server.service.close()
         server.server_close()
+
+
+def test_tcp_live_channels(sim_reads):
+    """Live channel ops: two connections each stream a read in pieces;
+    results equal solo StreamingBasecaller output."""
+    from scrappie_tpu.parallel.streaming import StreamingBasecaller
+
+    server = make_server(port=0, model="rgrgr_r94", chunk_len=2000,
+                         overlap=400, batch_size=4,
+                         streaming_kwargs={"poll_ms": 100.0})
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    def solo(sig):
+        sb = StreamingBasecaller("rgrgr_r94", 2000, 400)
+        sb.feed(sig)
+        sb.flush()
+        return sb.sequence
+
+    def live(i):
+        sig = sim_reads[i]
+        with socket.create_connection(("127.0.0.1", port), timeout=600) as s:
+            s.settimeout(600)
+            f = s.makefile()
+            def rpc(obj):
+                s.sendall((json.dumps(obj) + "\n").encode())
+                return json.loads(f.readline())
+            assert rpc({"op": "open", "channel": "c"})["open"]
+            bases = ""
+            for off in range(0, len(sig), 1500):
+                r = rpc({"op": "feed", "channel": "c",
+                         "signal": sig[off : off + 1500].tolist()})
+                bases += r["bases"]
+            r = rpc({"op": "flush", "channel": "c"})
+            assert r["final"]
+            return bases + r["bases"]
+
+    try:
+        out = [None, None]
+        ths = [threading.Thread(target=lambda i=i: out.__setitem__(i, live(i)))
+               for i in range(2)]
+        for th in ths:
+            th.start()
+        for th in ths:
+            th.join(timeout=600)
+        for i in range(2):
+            assert out[i] is not None
+            assert out[i] == solo(sim_reads[i])
+    finally:
+        server.shutdown()
+        server.service.close()
+        if server._ss is not None:
+            server._ss.close()
+        server.server_close()

@@ -190,3 +190,20 @@ def test_streaming_trim_start():
     tr.flush()
     assert tr.sequence == ref.sequence
     assert tr.nsample == len(sig) - 150
+
+
+def test_batcher_decode_pending_buffers_bases():
+    """decode_pending() (the server poller hook) decodes queued chunks
+    but leaves the bases in the channel buffer — poll() would hand them
+    to the caller and a server poller would lose them."""
+    from scrappie_tpu.parallel.streaming import StreamingBatcher
+
+    sig, _ = _sim_read(nbase=500, seed=19)
+    bat = StreamingBatcher("rgrgr_r94", CHUNK, OV, batch_size=8)
+    bat.add_stream("c")
+    got = bat.feed("c", sig)         # queues chunks; batch never fills
+    bat.decode_pending()             # poller tick
+    got += bat.collect("c")          # client's next request sees them
+    got += bat.flush("c")
+    solo, _ = _stream(sig, [len(sig)])
+    assert got == solo.sequence
