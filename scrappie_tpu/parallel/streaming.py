@@ -363,18 +363,30 @@ class StreamingBatcher:
 
     def __init__(self, model: str = "rgrgr_r94", chunk_len: int = 10000,
                  overlap: int = 1000, batch_size: int = 8, *,
-                 min_prob: float = 1e-5, tempW: float = 1.0,
+                 mesh=None, min_prob: float = 1e-5, tempW: float = 1.0,
                  tempb: float = 1.0, stay_pen: float = 0.0,
                  skip_pen: float = 0.0, local_pen: float = 2.0,
                  use_slip: bool = False, **stream_kwargs):
+        from scrappie_tpu.parallel.sharding import (
+            batch_sharding,
+            make_mesh,
+            shard_params,
+        )
+
         self.model = model
         self.spec = RAW_MODELS[model]
         self.chunk_len, self.overlap = chunk_len, overlap
-        self.batch_size = batch_size
         self._decode_args = (float(stay_pen), float(skip_pen),
                              float(local_pen), bool(use_slip))
         self._params, self._posterior = _build_posterior(model, min_prob,
                                                          tempW, tempb)
+        # Data-parallel over the mesh like the batch engine: live
+        # serving should light up every chip, not one
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.batch_size = -(-batch_size // self.mesh.shape["data"]) \
+            * self.mesh.shape["data"]
+        self._params = shard_params(self._params, self.mesh)
+        self._batch_sharding = batch_sharding(self.mesh)
         self._stream_kwargs = dict(stream_kwargs, min_prob=min_prob,
                                    tempW=tempW, tempb=tempb,
                                    stay_pen=stay_pen, skip_pen=skip_pen,
@@ -403,14 +415,15 @@ class StreamingBatcher:
     def _decode_batch_input(self, xs: np.ndarray):
         """[B<=batch_size, chunk_len] -> (emissions [B, nb], scores [B]);
         pads to batch_size so the shared program compiles once."""
-        import jax.numpy as jnp
+        import jax
 
         n = len(xs)
         if n < self.batch_size:
             xs = np.concatenate(
                 [xs, np.zeros((self.batch_size - n, self.chunk_len),
                               np.float32)])
-        lp = self._posterior(self._params, jnp.asarray(xs)[..., None])
+        x = jax.device_put(xs[..., None], self._batch_sharding)
+        lp = self._posterior(self._params, x)
         if self.spec.kind == "rnnrf":
             scores, paths = decode_crf(np.asarray(lp))
             return np.asarray(paths)[:n, :-1], np.asarray(scores)[:n]

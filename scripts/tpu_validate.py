@@ -9,6 +9,7 @@ Steps (each prints a PASS/FAIL line):
   1. bench.py throughput (one JSON line, must beat 50x CPU baseline)
   2. Pallas-vs-scan decode parity on device (tests/test_ops.py subset)
   3. engine end-to-end benchmark (scripts/bench_engine.py, both modes)
+  4. streaming + serving suites on the device backend
 
 Usage: python scripts/tpu_validate.py [--allow-cpu]
 """
@@ -72,6 +73,9 @@ def main() -> int:
               1200)
     ok &= run("engine-bench",
               [sys.executable, "scripts/bench_engine.py"], 1200)
+    ok &= run("streaming-serving",
+              [sys.executable, "-m", "pytest", "-q",
+               "tests/test_streaming.py", "tests/test_serve.py"], 1800)
     print("ALL PASS" if ok else "FAILURES above")
     return 0 if ok else 1
 

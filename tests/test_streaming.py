@@ -207,3 +207,23 @@ def test_batcher_decode_pending_buffers_bases():
     got += bat.flush("c")
     solo, _ = _stream(sig, [len(sig)])
     assert got == solo.sequence
+
+
+def test_batcher_on_device_mesh():
+    """StreamingBatcher shards chunk batches over the full device mesh
+    (8 virtual devices here) and still reproduces solo-stream output."""
+    import jax
+
+    from scrappie_tpu.parallel.sharding import make_mesh
+    from scrappie_tpu.parallel.streaming import StreamingBatcher
+
+    mesh = make_mesh()
+    assert mesh.shape["data"] == len(jax.devices())
+    sig, _ = _sim_read(nbase=700, seed=23)
+    bat = StreamingBatcher("rgrgr_r94", CHUNK, OV, batch_size=4, mesh=mesh)
+    assert bat.batch_size % mesh.shape["data"] == 0
+    bat.add_stream("c")
+    got = bat.feed("c", sig)
+    got += bat.flush("c")
+    solo, _ = _stream(sig, [len(sig)])
+    assert got == solo.sequence
