@@ -78,7 +78,8 @@ class BasecallEngine:
     def __init__(self, model: str = "rgrgr_r94", chunk_len: int = 10000,
                  overlap: int = 1000, batch_size: int = 8, mesh=None,
                  min_prob: float = 1e-5, tempW: float = 1.0, tempb: float = 1.0,
-                 decode_bucket: int = 1024, mode: str = "stitch"):
+                 decode_bucket: int = 1024, mode: str = "stitch",
+                 pipeline_depth: int = 2):
         """mode:
           'stitch' — stitch chunk posteriors into whole-read matrices and
             decode once per read (exact: chunked == unchunked basecall).
@@ -89,6 +90,11 @@ class BasecallEngine:
             scores are per-chunk sums weighted by kept blocks.  rgrgr
             models only; homopolymer correction unavailable (it needs
             the whole-read posterior).
+
+        pipeline_depth: device batches kept in flight before the host
+          blocks on results (JAX dispatch is async, so depth 2 =
+          classic double buffering: the host builds/stitches group k+1
+          while the device crunches group k).  1 = fully synchronous.
         """
         self.model = model
         self.spec = RAW_MODELS[model]
@@ -108,6 +114,7 @@ class BasecallEngine:
         self.decode_bucket = decode_bucket
         # Default: data-parallel over every local device (the CLI never
         # passes a mesh; pinning to one chip would idle the rest).
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self.mesh = mesh if mesh is not None else make_mesh()
         self.batch_size = _round_up(batch_size, self.mesh.shape["data"])
         self.params = shard_params(registry.load_params(model), self.mesh,
@@ -149,8 +156,15 @@ class BasecallEngine:
         """Run [N, chunk_len] chunks through the net in batch_size groups."""
         from scrappie_tpu.utils.validate import raise_pending
 
-        outs = [np.asarray(self._posterior(self.params, x))
-                for x in self._device_batches(all_chunks)]
+        import collections
+
+        outs = []
+        pend: collections.deque = collections.deque()
+        for x in self._device_batches(all_chunks):
+            pend.append(self._posterior(self.params, x))  # async dispatch
+            if len(pend) >= self.pipeline_depth:
+                outs.append(np.asarray(pend.popleft()))
+        outs.extend(np.asarray(p) for p in pend)
         raise_pending()  # surface any SCRAPPIE_TPU_VALIDATE layer failures
         return np.concatenate(outs, axis=0)[: all_chunks.shape[0]]
 
@@ -158,17 +172,28 @@ class BasecallEngine:
                              local_pen, use_slip):
         """Fused per-chunk decode: [N, chunk_len] -> (scores [N],
         paths [N, nblock_chunk+1]) without materialising posteriors."""
+        import collections
+
         from scrappie_tpu.ops.pipeline import rgrgr_basecall_fused
 
         scores, paths = [], []
+        pend: collections.deque = collections.deque()
+
+        def _collect():
+            s, p = pend.popleft()
+            scores.append(np.asarray(s))
+            paths.append(np.asarray(p))
+
         for x in self._device_batches(all_chunks):
-            s, p = rgrgr_basecall_fused(
+            pend.append(rgrgr_basecall_fused(
                 self.params, x, conv_activation=self.spec.conv_activation,
                 stride=self.spec.stride, min_prob=self._min_prob,
                 tempW=self._tempW, tempb=self._tempb, stay_pen=stay_pen,
-                skip_pen=skip_pen, local_pen=local_pen, use_slip=use_slip)
-            scores.append(np.asarray(s))
-            paths.append(np.asarray(p))
+                skip_pen=skip_pen, local_pen=local_pen, use_slip=use_slip))
+            if len(pend) >= self.pipeline_depth:
+                _collect()
+        while pend:
+            _collect()
         N = all_chunks.shape[0]
         return (np.concatenate(scores)[:N], np.concatenate(paths)[:N])
 
@@ -201,10 +226,33 @@ class BasecallEngine:
 
         Returns {read_index_in_prepped: (score, path np [nblock+1])}.
         """
+        import collections
+
+        from scrappie_tpu.utils.validate import raise_pending
+
         live = [(i, e, c) for (i, e), c in
                 zip([(i, e) for i, e in enumerate(prepped) if e is not None],
                     read_chunks)]
         results: dict[int, tuple[float, np.ndarray]] = {}
+        # Double buffering: device work for group k is dispatched
+        # asynchronously and only materialised once `pipeline_depth`
+        # groups are in flight, so the host stitches/plans group k+1
+        # while the device crunches group k.
+        inflight: collections.deque = collections.deque()
+
+        def _collect_one():
+            group, scores_d, paths_d = inflight.popleft()
+            scores = np.asarray(scores_d)
+            paths = np.asarray(paths_d)
+            # device->host sync point: surface SCRAPPIE_TPU_VALIDATE
+            # layer failures from callbacks now (attributed to the
+            # collected group, which may lag dispatch by the pipeline
+            # depth)
+            raise_pending()
+            for j, (i, e, _c) in enumerate(group):
+                nblock = e[2].nblock_total
+                results[i] = (float(scores[j]), paths[j, : nblock + 1].copy())
+
         gi = 0
         while gi < len(live):
             # group reads so one posterior pass covers the whole group
@@ -242,20 +290,16 @@ class BasecallEngine:
                 off += plan.nchunk
 
             with self.stage("decode"):
-                scores, paths = _gather_decode(
+                scores_d, paths_d = _gather_decode(
                     post, jnp.asarray(flat_idx), float(stay_pen),
                     float(skip_pen), float(local_pen), bool(use_slip))
-                scores = np.asarray(scores)
-                paths = np.asarray(paths)
-            # device->host sync point: surface SCRAPPIE_TPU_VALIDATE
-            # layer failures from the posterior/decode callbacks now,
-            # attributed to this group (not a later unrelated call)
-            from scrappie_tpu.utils.validate import raise_pending
-
-            raise_pending()
-            for j, (i, e, _c) in enumerate(group):
-                nblock = e[2].nblock_total
-                results[i] = (float(scores[j]), paths[j, : nblock + 1].copy())
+            inflight.append((group, scores_d, paths_d))
+            if len(inflight) >= self.pipeline_depth:
+                with self.stage("collect"):
+                    _collect_one()
+        while inflight:
+            with self.stage("collect"):
+                _collect_one()
         return results
 
     def _decode_bucketed(self, logposts: list[np.ndarray], stay_pen, skip_pen,

@@ -265,3 +265,25 @@ def test_engine_device_stitch_compiles_once(reads_dir):
     n0 = runner._gather_decode._cache_size()
     engine.basecall_signals([RawSignal(raw[:5200], uuid="g2")], local_pen=20.0)
     assert runner._gather_decode._cache_size() == n0
+
+
+def test_engine_pipeline_depth_equivalence(reads_dir):
+    """Double buffering (pipeline_depth>1) must not change results:
+    multi-group device-stitch and fast-mode runs agree with the fully
+    synchronous depth-1 engine."""
+    from scrappie_tpu.io.fast5 import read_raw
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.types import RawSignal
+
+    raw = read_raw(sorted(reads_dir.glob("*.fast5"))[0]).raw
+    reads = [RawSignal(raw[:6000], uuid="a"), RawSignal(raw[3000:11000], uuid="b"),
+             RawSignal(raw[:4200], uuid="c")]
+    for mode in ("stitch", "fast"):
+        outs = []
+        for depth in (1, 3):
+            eng = BasecallEngine("rgrgr_r94", chunk_len=2000, overlap=400,
+                                 batch_size=2, mode=mode,
+                                 pipeline_depth=depth)
+            res = eng.basecall_signals(reads, local_pen=20.0)
+            outs.append([(r.sequence, round(r.score, 4)) for r in res])
+        assert outs[0] == outs[1], mode
