@@ -425,10 +425,13 @@ class StreamingBatcher:
         x = jax.device_put(xs[..., None], self._batch_sharding)
         lp = self._posterior(self._params, x)
         if self.spec.kind == "rnnrf":
+            # decode_crf materialises internally (np); already sliced
             scores, paths = decode_crf(np.asarray(lp))
             return np.asarray(paths)[:n, :-1], np.asarray(scores)[:n]
+        # returned lazily (async dispatch): callers np.asarray at
+        # collect time, after every eligible batch has been dispatched
         scores, paths = viterbi_decode_batch(lp, *self._decode_args)
-        return np.asarray(paths)[:n, 1:], np.asarray(scores)[:n]
+        return paths[:n, 1:], scores[:n]
 
     def _decode_one(self, x: np.ndarray):
         """decode_fn for member streams (flush-time tail chunks): one
@@ -437,12 +440,19 @@ class StreamingBatcher:
         return emis[0], float(scores[0])
 
     def _run_queue(self, everything: bool) -> None:
+        # dispatch every eligible batch before materialising any (JAX
+        # dispatch is async — the same double buffering as the engine);
+        # commits stay in FIFO order, which preserves per-channel order
+        pending = []
         while (len(self._queue) >= self.batch_size
                or (everything and self._queue)):
             group = self._queue[: self.batch_size]
             del self._queue[: len(group)]
             xs = np.stack([w for _, _, w in group])
-            emis, scores = self._decode_batch_input(xs)
+            pending.append((group, self._decode_batch_input(xs)))
+        for group, (emis_d, scores_d) in pending:
+            emis = np.asarray(emis_d)    # one transfer per batch
+            scores = np.asarray(scores_d)
             for (key, start, _), e, s in zip(group, emis, scores):
                 bases = self._streams[key]._commit_chunk(start, e, float(s))
                 if bases:
