@@ -105,6 +105,10 @@ def build_parser():
     raw.add_argument("--overlap", type=int, default=1000,
                      help="Chunk overlap in samples")
     raw.add_argument("--batch", type=int, default=8, help="Device batch size")
+    raw.add_argument("--watch", type=float, default=None, metavar="SECONDS",
+                     help="Poll inputs every SECONDS for new fast5 files and "
+                          "basecall them as they appear (live run directory); "
+                          "with --limit N, exit after N reads")
     raw.add_argument("--fast", action="store_true", default=False,
                      help="Fused per-chunk decode + path stitching (TPU; "
                           "skips homopolymer correction)")
@@ -209,35 +213,69 @@ def main_raw(args) -> int:
                             batch_size=batch, min_prob=args.min_prob,
                             tempW=args.temperature1, tempb=args.temperature2,
                             mode="fast" if args.fast else "stitch")
+    call_kwargs = dict(
+        trim_start=args.trim[0], trim_end=args.trim[1],
+        varseg_chunk=args.segmentation[0], varseg_thresh=args.segmentation[1],
+        stay_pen=args.stay_pen, skip_pen=args.skip_pen, local_pen=args.local_pen,
+        use_slip=args.use_slip,
+        homopolymer=None if args.model == "rnnrf_r94" else args.homopolymer,
+        crf_emit_bias=args.crf_emit_bias,
+    )
+    fh = _out(args)
+    nread = 0
+
+    def write_results(results) -> int:
+        n = 0
+        for name, r in results:
+            if r.sequence is None:
+                print(f"No basecall for {name}", file=sys.stderr)
+                continue
+            n += 1
+            primary = (r.uuid or name) if args.uuid else name
+            if args.format == "fasta":
+                fh.write(format_fasta(primary, r.sequence, filename=name,
+                                      uuid=r.uuid or "", score=r.score,
+                                      nblock=r.nblock, nsample=r.nsample,
+                                      trim=(r.trim_start, r.trim_end),
+                                      prefix=args.prefix))
+            else:
+                fh.write(format_sam(primary, r.sequence, prefix=args.prefix))
+        fh.flush()
+        return n
+
     prof = profile(args.profile) if args.profile else contextlib.nullcontext()
     with prof:
-        results = engine.basecall_files(
-            args.files, limit=args.limit,
-            trim_start=args.trim[0], trim_end=args.trim[1],
-            varseg_chunk=args.segmentation[0], varseg_thresh=args.segmentation[1],
-            stay_pen=args.stay_pen, skip_pen=args.skip_pen, local_pen=args.local_pen,
-            use_slip=args.use_slip,
-            homopolymer=None if args.model == "rnnrf_r94" else args.homopolymer,
-            crf_emit_bias=args.crf_emit_bias,
-        )
+        if args.watch is None:
+            nread += write_results(engine.basecall_files(
+                args.files, limit=args.limit, **call_kwargs))
+        else:
+            # live run directory: poll for new fast5s and basecall them
+            # as they appear (MinKNOW-style output watching; no
+            # reference analogue — it only does one-shot globs)
+            import time as _time
+
+            from scrappie_tpu.io.fast5 import iterate_fast5
+
+            seen: set = set()
+            try:
+                while True:
+                    new = [f for f in iterate_fast5(args.files)
+                           if str(f) not in seen]
+                    if args.limit:
+                        new = new[: args.limit - nread]
+                    if new:
+                        nread += write_results(
+                            engine.basecall_files(new, **call_kwargs))
+                        seen.update(str(f) for f in new)
+                    if args.limit and nread >= args.limit:
+                        break
+                    _time.sleep(args.watch)
+            except KeyboardInterrupt:
+                pass
     if args.stage_report:
         import json as _json
 
         print(_json.dumps({"stages": engine.stage.report()}), file=sys.stderr)
-    fh = _out(args)
-    nread = 0
-    for name, r in results:
-        if r.sequence is None:
-            print(f"No basecall for {name}", file=sys.stderr)
-            continue
-        nread += 1
-        primary = (r.uuid or name) if args.uuid else name
-        if args.format == "fasta":
-            fh.write(format_fasta(primary, r.sequence, filename=name, uuid=r.uuid or "",
-                                  score=r.score, nblock=r.nblock, nsample=r.nsample,
-                                  trim=(r.trim_start, r.trim_end), prefix=args.prefix))
-        else:
-            fh.write(format_sam(primary, r.sequence, prefix=args.prefix))
     if fh is not sys.stdout:
         fh.close()
     print(f"Basecalled {nread} reads", file=sys.stderr)

@@ -30,6 +30,8 @@ and ready chunks batch across ALL connections (`StreamingService`):
   {"op": "feed",  "channel": "c1", "signal": [...]}-> {"bases": "..."}
   {"op": "flush", "channel": "c1"}                 -> {"bases": "...", "final": true}
 A dropped connection discards its unflushed channels.
+  {"op": "stats"} -> whole-read service counters {requests, batches,
+  engine_calls} (observability).
 
 Whole reads sent on different connections batch together; responses on
 one connection come back in request order.
@@ -243,6 +245,8 @@ class _Handler(socketserver.StreamRequestHandler):
                                 "score": (None if res.score != res.score
                                           else res.score),
                                 "nblock": res.nblock, "nsample": res.nsample}
+                    elif op == "stats":
+                        resp = {"id": rid, **self.server.service.stats}
                     else:  # live channel ops, namespaced per connection
                         chan = req["channel"]
                         key = (self.connection.fileno(), chan)

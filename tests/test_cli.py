@@ -200,3 +200,48 @@ def test_version_subprocess():
     )
     assert r.returncode == 0
     assert "scrappie_tpu" in r.stdout
+
+
+def test_raw_watch_mode(tmp_path):
+    """--watch basecalls fast5s as they appear and exits at --limit."""
+    import threading
+    import time as _time
+
+    import h5py
+    import numpy as np
+
+    from scrappie_tpu.train.simulate import SquiggleSimulator
+
+    def write_fast5(path, sig, read_id):
+        counts = np.round(sig * 40.0 + 300.0).astype(np.int16)
+        with h5py.File(path, "w") as h:
+            g = h.create_group("Raw/Reads/Read_1")
+            g.attrs["read_id"] = read_id
+            g.create_dataset("Signal", data=counts)
+            ch = h.create_group("UniqueGlobalKey/channel_id")
+            ch.attrs["digitisation"] = 8192.0
+            ch.attrs["offset"] = 10.0
+            ch.attrs["range"] = 1400.0
+            ch.attrs["sampling_rate"] = 4000.0
+
+    sim = SquiggleSimulator(seed=33)
+    sigs = [sim.simulate_read(250)[0] for _ in range(2)]
+    watch = tmp_path / "run"
+    watch.mkdir()
+    outfa = tmp_path / "out.fa"
+    write_fast5(watch / "r0.fast5", sigs[0], "uuid-0")
+
+    res = {}
+    t = threading.Thread(target=lambda: res.update(r=run_cli(
+        "raw", str(watch), "--watch", "0.2", "--limit", "2",
+        "--model", "rgrgr_r94", "--trim", "0:0", "-o", str(outfa))))
+    t.start()
+    _time.sleep(2.0)  # first poll picks up r0; r1 arrives later
+    write_fast5(watch / "r1.fast5", sigs[1], "uuid-1")
+    t.join(timeout=600)
+    assert not t.is_alive(), "--watch did not exit at --limit"
+    assert res["r"].returncode == 0
+    text = outfa.read_text()
+    names = [l[1:].split()[0] for l in text.splitlines() if l.startswith(">")]
+    assert len(names) == 2
+    assert any("r0" in n for n in names) and any("r1" in n for n in names)

@@ -191,3 +191,22 @@ def test_tcp_live_channels(sim_reads):
         if server._ss is not None:
             server._ss.close()
         server.server_close()
+
+
+def test_tcp_stats_op():
+    server = make_server(port=0, model="rgrgr_r94", chunk_len=2000,
+                         overlap=400, batch_size=4)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=60) as s:
+            s.sendall(b'{"id": "st", "op": "stats"}\n')
+            resp = json.loads(s.makefile().readline())
+        assert resp["id"] == "st"
+        for k in ("requests", "batches", "engine_calls"):
+            assert k in resp
+    finally:
+        server.shutdown()
+        server.service.close()
+        server.server_close()
