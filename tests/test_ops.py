@@ -280,3 +280,28 @@ def test_seqmap_dispatch_full():
         s, p = map_to_sequence_viterbi(lp, seq, want_path=True)
     assert abs(s - s_ref) < 1e-3
     np.testing.assert_array_equal(p, p_ref)
+
+
+def test_viterbi_kernel_shape_fuzz():
+    """Randomised (B, T, nstate) sweep: the kernels' padding/grid-edge
+    arithmetic must hold across the whole shape envelope, not just the
+    hand-picked sizes above (interpret mode on CPU; Mosaic on TPU hits
+    the same code paths via scripts/tpu_validate.py)."""
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        nhist = int(rng.choice([16, 64, 256]))
+        B = int(rng.integers(1, 9))
+        T = int(rng.integers(2, 25))
+        use_slip = bool(rng.integers(0, 2)) and nhist >= 64
+        lp = _rand_logpost(B, T, nhist + 1, seed=100 + trial)
+        pens = (float(rng.uniform(-1, 1)), float(rng.uniform(0, 2)),
+                float(rng.uniform(0.5, 4)))
+        ref_final, ref_tb = viterbi_transducer_scores(lp, *pens, use_slip)
+        k_final, k_tb = viterbi_scores_tm(jnp.moveaxis(lp, 1, 0), *pens,
+                                          use_slip, interpret=True)
+        k_path = viterbi_backtrace_tm(k_final, k_tb, interpret=True)[1]
+        ref_path = viterbi_local_backtrace(ref_final, ref_tb)[1]
+        np.testing.assert_allclose(np.asarray(k_final), np.asarray(ref_final),
+                                   rtol=1e-6, atol=1e-6)
+        assert np.array_equal(np.asarray(k_path), np.asarray(ref_path)), (
+            trial, B, T, nhist, use_slip)
