@@ -219,10 +219,25 @@ class StreamingBasecaller:
             return self._decode_fn(x)
         import jax.numpy as jnp
 
+        from scrappie_tpu import ops
+
         if self._own_program is None:
             self._own_program = _build_posterior(self.model,
                                                  *self._posterior_opts)
         params, posterior = self._own_program
+        if self.spec.kind == "rgrgr" and ops.pallas_enabled():
+            # fused chunk pipeline (see StreamingBatcher._decode_batch_input)
+            from scrappie_tpu.ops.pipeline import rgrgr_basecall_fused
+
+            mp, tw, tb = self._posterior_opts
+            scores, paths = rgrgr_basecall_fused(
+                params, jnp.asarray(x)[None, :, None],
+                conv_activation=self.spec.conv_activation,
+                stride=self.spec.stride, min_prob=mp, tempW=tw, tempb=tb,
+                stay_pen=self._decode_args[0], skip_pen=self._decode_args[1],
+                local_pen=self._decode_args[2],
+                use_slip=self._decode_args[3])
+            return np.asarray(paths)[0][1:], float(np.asarray(scores)[0])
         lp = posterior(params, jnp.asarray(x)[None, :, None])
         if self.spec.kind == "rnnrf":
             scores, paths = decode_crf(np.asarray(lp))
@@ -378,6 +393,7 @@ class StreamingBatcher:
         self.chunk_len, self.overlap = chunk_len, overlap
         self._decode_args = (float(stay_pen), float(skip_pen),
                              float(local_pen), bool(use_slip))
+        self._min_prob, self._tempW, self._tempb = min_prob, tempW, tempb
         self._params, self._posterior = _build_posterior(model, min_prob,
                                                          tempW, tempb)
         # Data-parallel over the mesh like the batch engine: live
@@ -422,7 +438,22 @@ class StreamingBatcher:
             xs = np.concatenate(
                 [xs, np.zeros((self.batch_size - n, self.chunk_len),
                               np.float32)])
+        from scrappie_tpu import ops
+
         x = jax.device_put(xs[..., None], self._batch_sharding)
+        if self.spec.kind == "rgrgr" and ops.pallas_enabled():
+            # fully-fused chunk pipeline (ops/pipeline.py): the
+            # [B, nblock, 1025] posterior never materialises in HBM —
+            # the same path the batch engine's fast mode uses
+            from scrappie_tpu.ops.pipeline import rgrgr_basecall_fused
+
+            scores, paths = rgrgr_basecall_fused(
+                self._params, x, conv_activation=self.spec.conv_activation,
+                stride=self.spec.stride, min_prob=self._min_prob,
+                tempW=self._tempW, tempb=self._tempb,
+                stay_pen=self._decode_args[0], skip_pen=self._decode_args[1],
+                local_pen=self._decode_args[2], use_slip=self._decode_args[3])
+            return paths[:n, 1:], scores[:n]
         lp = self._posterior(self._params, x)
         if self.spec.kind == "rnnrf":
             # decode_crf materialises internally (np); already sliced

@@ -227,3 +227,17 @@ def test_batcher_on_device_mesh():
     got += bat.flush("c")
     solo, _ = _stream(sig, [len(sig)])
     assert got == solo.sequence
+
+
+def test_streaming_fused_path_matches_plain():
+    """With Pallas forced on (interpret mode on CPU), the stream takes
+    the fused chunk pipeline — the batch engine's fast-mode path — and
+    must produce the same bases as the plain scan path."""
+    from scrappie_tpu import ops
+
+    sig, _ = _sim_read(nbase=400, seed=29)
+    plain, _ = _stream(sig, [len(sig)])
+    with ops.pallas(True):
+        fused, _ = _stream(sig, [len(sig)])
+    assert fused.sequence == plain.sequence
+    assert np.isclose(fused.score, plain.score, rtol=1e-5)
