@@ -19,6 +19,8 @@ Wire protocol (one JSON object per line, UTF-8):
   request  {"id": "...", "signal": [f32, ...]}            or
            {"id": "...", "signal_b64": "<base64 f32 LE>"}
            optional: "opts": {basecall_signals kwargs: local_pen, ...}
+           optional: "model": "rnnrf_r94" — route to another model's
+           service (built lazily; default = the server's --model)
   response {"id": "...", "sequence": "ACGT...", "score": -12.3,
             "nblock": 123, "nsample": 61500}               or
            {"id": "...", "error": "..."}
@@ -239,7 +241,8 @@ class _Handler(socketserver.StreamRequestHandler):
                     rid = req.get("id")
                     op = req.get("op")
                     if op is None:  # whole-read request
-                        res = self.server.service.basecall(
+                        svc = self.server.service_for(req.get("model"))
+                        res = svc.basecall(
                             _req_signal(req), uuid=rid, **req.get("opts", {}))
                         resp = {"id": rid, "sequence": res.sequence,
                                 "score": (None if res.score != res.score
@@ -287,6 +290,22 @@ class _Server(socketserver.ThreadingTCPServer):
                 self._ss = StreamingService(**self._ss_kwargs)
             return self._ss
 
+    def service_for(self, model: str | None) -> BasecallService:
+        """Route a request to its model's service; the default model's
+        service is built at startup, others lazily on first request
+        (each model = its own engine + worker; weights are ~1 MB)."""
+        if model is None or model == self._default_model:
+            return self.service
+        from scrappie_tpu.models.specs import RAW_MODELS
+
+        if model not in RAW_MODELS:
+            raise KeyError(f"unknown model {model!r}")
+        with self._ss_lock:
+            if model not in self._model_services:
+                kwargs = dict(self._service_kwargs, model=model)
+                self._model_services[model] = BasecallService(**kwargs)
+            return self._model_services[model]
+
 
 def make_server(host: str = "127.0.0.1", port: int = 0,
                 service: BasecallService | None = None,
@@ -296,6 +315,9 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
     service = service or BasecallService(**service_kwargs)
     server = _Server((host, port), _Handler)
     server.service = service
+    server._default_model = service_kwargs.get("model", "rgrgr_r94")
+    server._service_kwargs = dict(service_kwargs)
+    server._model_services = {}
     server._ss = None
     server._ss_lock = threading.Lock()
     ss_kwargs = dict(streaming_kwargs or {})
@@ -317,6 +339,8 @@ def serve(host: str = "127.0.0.1", port: int = 7777, **service_kwargs) -> None:
         server.serve_forever()
     finally:
         server.service.close()
+        for svc in server._model_services.values():
+            svc.close()
         if server._ss is not None:
             server._ss.close()
         server.server_close()

@@ -210,3 +210,36 @@ def test_tcp_stats_op():
         server.shutdown()
         server.service.close()
         server.server_close()
+
+
+def test_tcp_model_routing(sim_reads):
+    """Per-request model override: one server, many models (lazily
+    instantiated); unknown models error without killing the connection."""
+    server = make_server(port=0, model="rgrgr_r94", chunk_len=2000,
+                         overlap=400, batch_size=4)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=600) as s:
+            s.settimeout(600)
+            f = s.makefile()
+
+            def rpc(obj):
+                s.sendall((json.dumps(obj) + "\n").encode())
+                return json.loads(f.readline())
+
+            sig = sim_reads[0].tolist()
+            r_def = rpc({"id": "d", "signal": sig})
+            r_crf = rpc({"id": "c", "signal": sig, "model": "rnnrf_r94"})
+            r_bad = rpc({"id": "x", "signal": sig, "model": "nope"})
+        assert r_def["sequence"] and r_crf["sequence"]
+        assert r_def["sequence"] != r_crf["sequence"]  # different decoders
+        assert "error" in r_bad and "nope" in r_bad["error"]
+        assert "rnnrf_r94" in server._model_services
+    finally:
+        server.shutdown()
+        server.service.close()
+        for svc in server._model_services.values():
+            svc.close()
+        server.server_close()
