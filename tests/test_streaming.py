@@ -241,3 +241,16 @@ def test_streaming_fused_path_matches_plain():
         fused, _ = _stream(sig, [len(sig)])
     assert fused.sequence == plain.sequence
     assert np.isclose(fused.score, plain.score, rtol=1e-5)
+
+
+def test_raw_kind_streaming():
+    """raw_r94 (kind 'raw', stride 4) streams with increment invariance."""
+    sig, _ = _sim_read(nbase=400, seed=31)
+    sb1 = StreamingBasecaller("raw_r94", CHUNK, OV)
+    sb1.feed(sig)
+    sb1.flush()
+    sb2 = StreamingBasecaller("raw_r94", CHUNK, OV)
+    for i in range(0, len(sig), 631):
+        sb2.feed(sig[i : i + 631])
+    sb2.flush()
+    assert sb1.sequence == sb2.sequence and len(sb1.sequence) > 50
