@@ -1,0 +1,79 @@
+"""Streaming events pipeline (parallel/streaming_events.py).
+
+Contracts: increment-invariance (exact); accuracy on a simulated
+detector-realistic read close to the whole-read events pipeline; short
+reads handled by a single flush window.
+"""
+
+import numpy as np
+import pytest
+
+from scrappie_tpu.parallel.streaming_events import EventsStreamingBasecaller
+
+CHUNK, OV = 4000, 1000
+
+
+def _sim_read(nbase=700, seed=41):
+    from scrappie_tpu.train.simulate import SquiggleSimulator
+
+    sig, bases, _ = SquiggleSimulator(seed=seed).simulate_read(nbase)
+    truth = "".join("ACGT"[b] for b in bases)
+    return np.asarray(sig, np.float32), truth
+
+
+def test_events_stream_increment_invariance():
+    sig, _ = _sim_read()
+    sb1 = EventsStreamingBasecaller(CHUNK, OV)
+    sb1.feed(sig)
+    sb1.flush()
+    rng = np.random.default_rng(2)
+    sb2 = EventsStreamingBasecaller(CHUNK, OV)
+    off = 0
+    while off < len(sig):
+        n = int(rng.integers(1, 1300))
+        sb2.feed(sig[off : off + n])
+        off += n
+    sb2.flush()
+    assert sb1.sequence == sb2.sequence
+    assert len(sb1.sequence) > 100
+    assert np.isclose(sb1.score, sb2.score)
+    assert sb1.nevent == sb2.nevent
+
+
+def test_events_stream_accuracy_vs_whole_read():
+    import Levenshtein
+
+    from scrappie_tpu import api
+
+    sig, truth = _sim_read(nbase=900, seed=43)
+    sb = EventsStreamingBasecaller(CHUNK, OV)
+    sb.feed(sig)
+    sb.flush()
+
+    def ident(a, b):
+        return 1.0 - Levenshtein.distance(a, b) / max(len(a), len(b), 1)
+
+    whole, _, _, _, _ = api.basecall_events(sig, trim_start=0, trim_end=0,
+                                            dwell_correction=False)
+    id_stream = ident(sb.sequence, truth)
+    id_whole = ident(whole, truth)
+    # frozen feature stats + junction jitter cost a little accuracy;
+    # the stream must stay in the same class as the batch pipeline
+    assert id_stream > id_whole - 0.08, (id_stream, id_whole)
+    assert id_stream > 0.6
+
+
+def test_events_stream_short_read():
+    sig, _ = _sim_read(nbase=80, seed=45)
+    assert len(sig) < CHUNK
+    sb = EventsStreamingBasecaller(CHUNK, OV)
+    assert sb.feed(sig) == ""
+    seq = sb.flush()
+    assert seq == sb.sequence and len(seq) > 20
+
+
+def test_events_stream_empty_and_reuse():
+    sb = EventsStreamingBasecaller(CHUNK, OV)
+    assert sb.flush() == ""
+    with pytest.raises(RuntimeError):
+        sb.feed(np.zeros(3, np.float32))
