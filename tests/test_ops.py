@@ -305,3 +305,28 @@ def test_viterbi_kernel_shape_fuzz():
                                    rtol=1e-6, atol=1e-6)
         assert np.array_equal(np.asarray(k_path), np.asarray(ref_path)), (
             trial, B, T, nhist, use_slip)
+
+
+def test_gru_kernel_shape_fuzz():
+    """Randomised (B, T, C, S, reverse) sweep of the GRU kernel vs the
+    scan reference — guards the padding/edge arithmetic across the
+    shape envelope (S <= 128 lane width; C arbitrary)."""
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        B = int(rng.choice([8, 16]))  # kernel contract: B % 8 == 0
+        T = int(rng.integers(2, 16))
+        C = int(rng.integers(1, 20))
+        S = int(rng.choice([16, 48, 96, 128]))
+        reverse = bool(rng.integers(0, 2))
+        x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+        iW = jnp.asarray(0.3 * rng.standard_normal((C, 3 * S)).astype(np.float32))
+        b = jnp.asarray(0.1 * rng.standard_normal((3 * S,)).astype(np.float32))
+        sW = jnp.asarray(0.3 * rng.standard_normal((S, 2 * S)).astype(np.float32))
+        sW2 = jnp.asarray(0.3 * rng.standard_normal((S, S)).astype(np.float32))
+        href = gru(feedforward(x, iW, b), sW, sW2, reverse=reverse)
+        h = gru_layer_tm(jnp.moveaxis(x, 1, 0), iW, b, sW, sW2,
+                         reverse=reverse)
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(h[..., :S]), 0, 1), np.asarray(href),
+            rtol=2e-5, atol=2e-5, err_msg=str((trial, B, T, C, S, reverse)))
+        assert np.all(np.asarray(h[..., S:]) == 0.0)
