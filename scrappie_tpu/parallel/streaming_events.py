@@ -45,6 +45,24 @@ from scrappie_tpu.signal.features import nanonet_features_from_events
 from scrappie_tpu.types import RawSignal
 
 
+def _build_events_program(min_prob: float, tempW: float, tempb: float):
+    """Jitted nanonet events posterior (shared by one solo stream, or
+    once across a whole EventsStreamingBatcher)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from scrappie_tpu.models import forward, registry
+
+    params = {k: jnp.asarray(v)
+              for k, v in registry.load_params("nanonet_events").items()}
+    posterior = jax.jit(functools.partial(
+        forward.events_posterior, min_prob=min_prob, tempW=tempW,
+        tempb=tempb, return_log=True))
+    return params, posterior
+
+
 class EventsStreamingBasecaller:
     """Incremental events-pipeline basecaller for one read/channel.
 
@@ -59,13 +77,7 @@ class EventsStreamingBasecaller:
                  tempb: float = 1.0, stay_pen: float = 0.0,
                  skip_pen: float = 0.0, local_pen: float = 2.0,
                  use_slip: bool = False,
-                 detection=EVENT_DETECTION_DEFAULTS):
-        import functools
-
-        import jax
-
-        from scrappie_tpu.models import forward, registry
-
+                 detection=EVENT_DETECTION_DEFAULTS, events_fn=None):
         if not 0 < overlap < chunk_len:
             raise ValueError("need 0 < overlap < chunk_len")
         self.chunk_len, self.overlap = int(chunk_len), int(overlap)
@@ -75,21 +87,20 @@ class EventsStreamingBasecaller:
         self.detection = detection
         self._decode_args = (float(stay_pen), float(skip_pen),
                              float(local_pen), bool(use_slip))
+        self._posterior_opts = (float(min_prob), float(tempW), float(tempb))
         self._trim_left = int(trim_start)
-
-        params = registry.load_params("nanonet_events")
-        import jax.numpy as jnp
-
-        self._params = {k: jnp.asarray(v) for k, v in params.items()}
-        self._posterior = jax.jit(functools.partial(
-            forward.events_posterior, min_prob=min_prob, tempW=tempW,
-            tempb=tempb, return_log=True))
+        # events_fn: injected device half (EventsStreamingBatcher)
+        # mapping (padded feats, nev) -> (emissions [nev], score);
+        # without it a batch-1 program is built lazily on first use
+        self._events_fn = events_fn or self._net_decode_single
+        self._own_program = None
 
         # stream state
         self._parts: list[np.ndarray] = []
         self._base_off = 0
         self._nfed = 0
         self._next_start = 0
+        self._reserved = 0               # chunks reserved, not committed
         self._committed_hi = 0           # SAMPLE coordinate
         self._last_chunk = None          # (starts, emissions, s, score, nev)
         self._last_kmer: int | None = None
@@ -130,10 +141,11 @@ class EventsStreamingBasecaller:
 
     # ------------------------------------------------------------- chunk
 
-    def _chunk_events(self, start: int):
-        """Run the events pipeline on the chunk at `start`: returns
-        (event start samples in STREAM coords [nev], per-event path
-        emissions [nev], chunk score, nev)."""
+    def _prepare_chunk(self, start: int):
+        """Host half of the chunk pipeline: detect events, studentise
+        with the frozen stats, reflect-pad to the bucket.  Returns
+        (event start samples in STREAM coords [nev], padded features
+        [event_bucket, 4], nev)."""
         x = self._window(start, self.chunk_len)
         et = detect_events(RawSignal(x), self.detection)
         feats = nanonet_features_from_events(et, normalise=False)
@@ -167,11 +179,19 @@ class EventsStreamingBasecaller:
             sfeats = np.concatenate(
                 [sfeats, np.tile(refl, (reps, 1))[:pad]]) if nev else \
                 np.zeros((self.event_bucket, 4), np.float32)
+        starts = (et.active["start"][:nev].astype(np.int64) + start)
+        return starts, np.asarray(sfeats, np.float32), nev
 
+    def _net_decode_single(self, sfeats: np.ndarray, nev: int):
+        """Device half, batch 1: net + neutral-padded decode.  Returns
+        (per-event path emissions [nev], chunk score)."""
         import jax.numpy as jnp
 
-        lp = np.asarray(self._posterior(
-            self._params, jnp.asarray(sfeats, jnp.float32)[None]))[0]
+        if self._own_program is None:
+            self._own_program = _build_events_program(*self._posterior_opts)
+        params, posterior = self._own_program
+        lp = np.asarray(posterior(params,
+                                  jnp.asarray(sfeats)[None]))[0]
         # neutral-pad the tail so pad events decode to stays
         lp = neutral_pad_logpost(lp[:nev], self.event_bucket,
                                  self._decode_args[0])
@@ -179,9 +199,13 @@ class EventsStreamingBasecaller:
             jnp.asarray(lp)[None], *self._decode_args)
         # emission for event i = path entry i (ref src/scrappie_events.c:301
         # stitches path[:nev])
-        emissions = np.asarray(paths)[0][: nev]
-        starts = (et.active["start"][:nev].astype(np.int64) + start)
-        return starts, emissions, float(np.asarray(scores)[0]), nev
+        return np.asarray(paths)[0][:nev], float(np.asarray(scores)[0])
+
+    def _chunk_events(self, start: int):
+        """Whole chunk pipeline (host prep + device decode)."""
+        starts, sfeats, nev = self._prepare_chunk(start)
+        emissions, score = self._events_fn(sfeats, nev)
+        return starts, emissions, score, nev
 
     def _emit(self, seg: np.ndarray) -> str:
         seg = np.asarray(seg)
@@ -226,7 +250,8 @@ class EventsStreamingBasecaller:
     def nevent(self) -> int:
         return self._nevent
 
-    def feed(self, samples) -> str:
+    def append_samples(self, samples) -> None:
+        """Buffer samples without decoding (EventsStreamingBatcher)."""
         if self._done:
             raise RuntimeError("stream already flushed")
         samples = np.asarray(samples, dtype=np.float32).ravel()
@@ -237,21 +262,47 @@ class EventsStreamingBasecaller:
         if len(samples):
             self._parts.append(samples)
             self._nfed += len(samples)
+
+    def _chunk_ready(self) -> bool:
+        return (not self._done
+                and self._nfed >= self._next_start + self.chunk_len)
+
+    def _reserve_chunk(self):
+        """Claim the next ready chunk: host prep now, device decode
+        later; commits must follow reservation order."""
+        s = self._next_start
+        prep = self._prepare_chunk(s)
+        self._next_start += self.hop
+        self._reserved += 1
+        self._compact()
+        return s, prep
+
+    def _commit_chunk(self, s: int, starts, emissions, score: float,
+                      nev: int) -> str:
+        hi = s + self.hop + self.overlap // 2
+        lo = 0 if s == 0 else self._committed_hi
+        bases = self._commit(starts, np.asarray(emissions), lo, hi,
+                             float(score), nev)
+        self._last_chunk = (starts, np.asarray(emissions), s, float(score),
+                            nev)
+        self._reserved -= 1
+        return bases
+
+    def feed(self, samples) -> str:
+        self.append_samples(samples)
         out: list[str] = []
-        while not self._done and self._nfed >= self._next_start + self.chunk_len:
-            s = self._next_start
-            starts, emissions, score, nev = self._chunk_events(s)
-            hi = s + self.hop + self.overlap // 2
-            lo = 0 if s == 0 else self._committed_hi
-            out.append(self._commit(starts, emissions, lo, hi, score, nev))
-            self._last_chunk = (starts, emissions, s, score, nev)
-            self._next_start += self.hop
-            self._compact()
+        while self._chunk_ready():
+            s, (starts, sfeats, nev) = self._reserve_chunk()
+            emissions, score = self._events_fn(sfeats, nev)
+            out.append(self._commit_chunk(s, starts, emissions, score, nev))
         return "".join(out)
 
     def flush(self) -> str:
         if self._done:
             raise RuntimeError("stream already flushed")
+        if self._reserved:
+            raise RuntimeError("reserved chunks not yet committed "
+                               "(EventsStreamingBatcher must drain first)")
         self._done = True
         nsample = self._nfed
         if nsample == 0 or self._committed_hi >= nsample:
@@ -269,3 +320,129 @@ class EventsStreamingBasecaller:
         starts, emissions, score, nev = self._chunk_events(f)
         return self._commit(starts, emissions, self._committed_hi, nsample,
                             score, nev)
+
+
+class EventsStreamingBatcher:
+    """Live events-pipeline basecalling of many channels with batched
+    device work (the events analogue of streaming.StreamingBatcher).
+
+    Event detection/features run host-side per chunk; the net + decode
+    for ready chunks from ALL channels share one
+    [batch_size, event_bucket] compiled program.  Per-channel output is
+    byte-identical to a solo EventsStreamingBasecaller.
+    """
+
+    def __init__(self, chunk_len: int = 10000, overlap: int = 2000,
+                 batch_size: int = 8, *, min_prob: float = 1e-5,
+                 tempW: float = 1.0, tempb: float = 1.0,
+                 stay_pen: float = 0.0, skip_pen: float = 0.0,
+                 local_pen: float = 2.0, use_slip: bool = False,
+                 **stream_kwargs):
+        self.chunk_len, self.overlap = chunk_len, overlap
+        self.batch_size = batch_size
+        self._decode_args = (float(stay_pen), float(skip_pen),
+                             float(local_pen), bool(use_slip))
+        self._params, self._posterior = _build_events_program(
+            min_prob, tempW, tempb)
+        self._stream_kwargs = dict(stream_kwargs, min_prob=min_prob,
+                                   tempW=tempW, tempb=tempb,
+                                   stay_pen=stay_pen, skip_pen=skip_pen,
+                                   local_pen=local_pen, use_slip=use_slip)
+        self._streams: dict = {}
+        self._queue: list[tuple] = []  # (key, s, starts, sfeats, nev) FIFO
+        self._outbuf: dict[object, list[str]] = {}
+
+    # ------------------------------------------------------------ streams
+
+    def add_stream(self, key, **kwargs) -> EventsStreamingBasecaller:
+        if key in self._streams:
+            raise KeyError(f"stream {key!r} already exists")
+        kw = {**self._stream_kwargs, **kwargs}
+        sb = EventsStreamingBasecaller(self.chunk_len, self.overlap,
+                                       events_fn=self._events_one, **kw)
+        self._streams[key] = sb
+        self._outbuf[key] = []
+        return sb
+
+    def stream(self, key) -> EventsStreamingBasecaller:
+        return self._streams[key]
+
+    # ------------------------------------------------------------ decode
+
+    def _net_decode_batch(self, sfeats: np.ndarray, nevs: list[int]):
+        """[B<=batch_size, event_bucket, 4] -> per-item (emissions, score);
+        pads the batch so the shared program compiles once."""
+        import jax.numpy as jnp
+
+        n, bucket = len(sfeats), sfeats.shape[1]
+        if n < self.batch_size:
+            sfeats = np.concatenate(
+                [sfeats, np.zeros((self.batch_size - n, bucket, 4),
+                                  np.float32)])
+        lp = np.asarray(self._posterior(self._params, jnp.asarray(sfeats)))
+        padded = np.stack([
+            neutral_pad_logpost(lp[i][: nevs[i]], bucket,
+                                self._decode_args[0])
+            for i in range(n)])
+        scores, paths = viterbi_decode_batch(jnp.asarray(padded),
+                                             *self._decode_args)
+        scores = np.asarray(scores)
+        paths = np.asarray(paths)
+        return [(paths[i][: nevs[i]], float(scores[i])) for i in range(n)]
+
+    def _events_one(self, sfeats: np.ndarray, nev: int):
+        """events_fn for member streams (flush-time chunks)."""
+        return self._net_decode_batch(sfeats[None], [nev])[0]
+
+    def _run_queue(self, everything: bool) -> None:
+        while (len(self._queue) >= self.batch_size
+               or (everything and self._queue)):
+            group = self._queue[: self.batch_size]
+            del self._queue[: len(group)]
+            outs = self._net_decode_batch(
+                np.stack([sf for *_, sf, _n in group]),
+                [n for *_, n in group])
+            for (key, s, starts, _sf, nev), (em, sc) in zip(group, outs):
+                bases = self._streams[key]._commit_chunk(s, starts, em, sc,
+                                                         nev)
+                if bases:
+                    self._outbuf[key].append(bases)
+
+    def decode_pending(self) -> None:
+        """Force-decode queued chunks, leaving bases buffered (server
+        poller hook; see streaming.StreamingBatcher.decode_pending)."""
+        self._run_queue(everything=True)
+
+    def collect(self, key) -> str:
+        out = "".join(self._outbuf[key])
+        self._outbuf[key].clear()
+        return out
+
+    # ------------------------------------------------------------ public
+
+    def feed(self, key, samples) -> str:
+        sb = self._streams[key]
+        sb.append_samples(samples)
+        while sb._chunk_ready():
+            s, (starts, sfeats, nev) = sb._reserve_chunk()
+            self._queue.append((key, s, starts, sfeats, nev))
+        self._run_queue(everything=False)
+        return self.collect(key)
+
+    def poll(self) -> dict:
+        self._run_queue(everything=True)
+        out = {k: self.collect(k) for k in self._outbuf}
+        return {k: v for k, v in out.items() if v}
+
+    def flush(self, key) -> str:
+        if any(q[0] == key for q in self._queue):
+            self._run_queue(everything=True)
+        tail = self._streams[key].flush()
+        if tail:
+            self._outbuf[key].append(tail)
+        return self.collect(key)
+
+    def close_stream(self, key) -> None:
+        self._queue = [q for q in self._queue if q[0] != key]
+        self._streams.pop(key, None)
+        self._outbuf.pop(key, None)

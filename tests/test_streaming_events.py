@@ -77,3 +77,52 @@ def test_events_stream_empty_and_reuse():
     assert sb.flush() == ""
     with pytest.raises(RuntimeError):
         sb.feed(np.zeros(3, np.float32))
+
+
+def test_events_batcher_matches_solo():
+    """Channels through EventsStreamingBatcher == solo streams, exactly."""
+    from scrappie_tpu.parallel.streaming_events import EventsStreamingBatcher
+
+    sigs = [_sim_read(nbase=n, seed=s)[0] for n, s in [(600, 51), (750, 52)]]
+    solo = []
+    for sig in sigs:
+        sb = EventsStreamingBasecaller(CHUNK, OV)
+        sb.feed(sig)
+        sb.flush()
+        solo.append(sb.sequence)
+
+    bat = EventsStreamingBatcher(CHUNK, OV, batch_size=4)
+    for i in range(len(sigs)):
+        bat.add_stream(i)
+    rng = np.random.default_rng(5)
+    offs = [0] * len(sigs)
+    got = [""] * len(sigs)
+    while any(offs[i] < len(sigs[i]) for i in range(len(sigs))):
+        i = int(rng.integers(0, len(sigs)))
+        if offs[i] >= len(sigs[i]):
+            continue
+        n = int(rng.integers(300, 2000))
+        got[i] += bat.feed(i, sigs[i][offs[i] : offs[i] + n])
+        offs[i] += n
+    for k, v in bat.poll().items():
+        got[k] += v
+    for i in range(len(sigs)):
+        got[i] += bat.flush(i)
+        bat.close_stream(i)
+    assert got == solo and all(got)
+
+
+def test_events_batcher_decode_pending():
+    from scrappie_tpu.parallel.streaming_events import EventsStreamingBatcher
+
+    sig, _ = _sim_read(nbase=600, seed=53)
+    bat = EventsStreamingBatcher(CHUNK, OV, batch_size=8)
+    bat.add_stream("c")
+    got = bat.feed("c", sig)        # queue never fills a batch of 8
+    bat.decode_pending()            # poller hook: decode, don't collect
+    got += bat.collect("c")
+    got += bat.flush("c")
+    solo = EventsStreamingBasecaller(CHUNK, OV)
+    solo.feed(sig)
+    solo.flush()
+    assert got == solo.sequence
