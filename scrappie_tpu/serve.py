@@ -29,6 +29,8 @@ Live channels (incremental signal, parallel/streaming.py) use the same
 connection with an "op" field; channel names are scoped per connection
 and ready chunks batch across ALL connections (`StreamingService`):
   {"op": "open",  "channel": "c1", "opts": {...}}  -> {"open": true}
+  (optional "pipeline": "events" streams the events pipeline instead,
+  parallel/streaming_events.py)
   {"op": "feed",  "channel": "c1", "signal": [...]}-> {"bases": "..."}
   {"op": "flush", "channel": "c1"}                 -> {"bases": "...", "final": true}
 A dropped connection discards its unflushed channels.
@@ -179,6 +181,10 @@ class StreamingService:
         self.batcher = StreamingBatcher(model, chunk_len, overlap,
                                         batch_size=batch_size,
                                         **stream_kwargs)
+        self._batch_size = batch_size
+        self._events_batcher = None  # lazy: channels opened with
+        #                              pipeline="events"
+        self._route: dict = {}       # key -> owning batcher
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._poll_s = poll_ms / 1e3
@@ -193,25 +199,44 @@ class StreamingService:
                 # (they would never reach the client); decode_pending
                 # leaves them buffered for the channel's next request
                 self.batcher.decode_pending()
+                if self._events_batcher is not None:
+                    self._events_batcher.decode_pending()
 
-    def open(self, key, **kwargs) -> None:
+    def open(self, key, pipeline: str = "raw", **kwargs) -> None:
         with self._lock:
-            self.batcher.add_stream(key, **kwargs)
+            if pipeline == "raw":
+                bat = self.batcher
+            elif pipeline == "events":
+                if self._events_batcher is None:
+                    from scrappie_tpu.parallel.streaming_events import (
+                        EventsStreamingBatcher,
+                    )
+
+                    self._events_batcher = EventsStreamingBatcher(
+                        batch_size=self._batch_size)
+                bat = self._events_batcher
+            else:
+                raise ValueError(f"unknown pipeline {pipeline!r}")
+            bat.add_stream(key, **kwargs)
+            self._route[key] = bat
 
     def feed(self, key, samples) -> str:
         with self._lock:
-            return self.batcher.feed(key, samples)
+            return self._route[key].feed(key, samples)
 
     def flush(self, key) -> str:
         with self._lock:
-            bases = self.batcher.flush(key)
-            self.batcher.close_stream(key)
+            bat = self._route.pop(key)
+            bases = bat.flush(key)
+            bat.close_stream(key)
             return bases
 
     def discard(self, key) -> None:
         """Drop a channel without flushing (client went away)."""
         with self._lock:
-            self.batcher.close_stream(key)
+            bat = self._route.pop(key, None)
+            if bat is not None:
+                bat.close_stream(key)
 
     def close(self) -> None:
         self._stop.set()
@@ -255,7 +280,8 @@ class _Handler(socketserver.StreamRequestHandler):
                         key = (self.connection.fileno(), chan)
                         ss = self.server.streaming_service()
                         if op == "open":
-                            ss.open(key, **req.get("opts", {}))
+                            ss.open(key, pipeline=req.get("pipeline", "raw"),
+                                    **req.get("opts", {}))
                             my_channels.add(key)
                             resp = {"id": rid, "channel": chan, "open": True}
                         elif op == "feed":

@@ -243,3 +243,49 @@ def test_tcp_model_routing(sim_reads):
         for svc in server._model_services.values():
             svc.close()
         server.server_close()
+
+
+def test_tcp_live_events_pipeline(sim_reads):
+    """Live channel with pipeline=events routes to the events batcher
+    and equals a solo EventsStreamingBasecaller."""
+    from scrappie_tpu.parallel.streaming_events import (
+        EventsStreamingBasecaller,
+    )
+
+    server = make_server(port=0, model="rgrgr_r94", chunk_len=2000,
+                         overlap=400, batch_size=4,
+                         streaming_kwargs={"poll_ms": 100.0})
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    sig = sim_reads[1]
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=600) as s:
+            s.settimeout(600)
+            f = s.makefile()
+
+            def rpc(obj):
+                s.sendall((json.dumps(obj) + "\n").encode())
+                return json.loads(f.readline())
+
+            r = rpc({"op": "open", "channel": "e", "pipeline": "events"})
+            assert r.get("open"), r
+            bases = ""
+            for off in range(0, len(sig), 1700):
+                r = rpc({"op": "feed", "channel": "e",
+                         "signal": sig[off : off + 1700].tolist()})
+                assert "error" not in r, r
+                bases += r["bases"]
+            r = rpc({"op": "flush", "channel": "e"})
+            bases += r["bases"]
+        # events batcher defaults: chunk 10000 / overlap 2000
+        solo = EventsStreamingBasecaller(10000, 2000)
+        solo.feed(sig)
+        solo.flush()
+        assert bases == solo.sequence and bases
+    finally:
+        server.shutdown()
+        server.service.close()
+        if server._ss is not None:
+            server._ss.close()
+        server.server_close()
