@@ -82,8 +82,9 @@ class EventsStreamingBasecaller:
             raise ValueError("need 0 < overlap < chunk_len")
         self.chunk_len, self.overlap = int(chunk_len), int(overlap)
         self.hop = self.chunk_len - self.overlap
-        # ~1 event / 10 samples typical; 1/4 is a generous ceiling
-        self.event_bucket = event_bucket or -(-self.chunk_len // 4) // 256 * 256
+        # ~1 event / 5-10 samples typical; 1/4 is a generous ceiling
+        # (rounded UP to the 256 lane bucket)
+        self.event_bucket = event_bucket or -(-self.chunk_len // 4 // 256) * 256
         self.detection = detection
         self._decode_args = (float(stay_pen), float(skip_pen),
                              float(local_pen), bool(use_slip))
