@@ -257,6 +257,7 @@ def main_raw(args) -> int:
             from scrappie_tpu.io.fast5 import iterate_fast5
 
             seen: set = set()
+            fails: dict = {}
             try:
                 while True:
                     new = [f for f in iterate_fast5(args.files)
@@ -264,9 +265,25 @@ def main_raw(args) -> int:
                     if args.limit:
                         new = new[: args.limit - nread]
                     if new:
-                        nread += write_results(
-                            engine.basecall_files(new, **call_kwargs))
-                        seen.update(str(f) for f in new)
+                        results = engine.basecall_files(new, **call_kwargs)
+                        nread += write_results(results)
+                        # A file that failed to READ (still being
+                        # written by the sequencer) is absent from
+                        # results: retry it on later polls, giving up
+                        # after 5 consecutive failures.
+                        done = {name for name, _ in results}
+                        seen.update(done)
+                        for f in new:
+                            f = str(f)
+                            if f in done:
+                                fails.pop(f, None)
+                                continue
+                            fails[f] = fails.get(f, 0) + 1
+                            if fails[f] >= 5:
+                                print(f"Giving up on {f} after "
+                                      f"{fails[f]} failed reads",
+                                      file=sys.stderr)
+                                seen.add(f)
                     if args.limit and nread >= args.limit:
                         break
                     _time.sleep(args.watch)

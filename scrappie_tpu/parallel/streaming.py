@@ -78,7 +78,53 @@ def _build_posterior(model: str, min_prob: float, tempW: float, tempb: float):
     return params, jax.jit(lambda p, x: fn(p, x))
 
 
-class StreamingBasecaller:
+class SampleBufferMixin:
+    """Shared stream-buffer machinery for the streaming basecallers
+    (raw here; events in streaming_events.py).
+
+    Requires attributes: `_parts` (list of arrays), `_base_off` (samples
+    dropped from the front), `_next_start` (next chunk's sample start),
+    `chunk_len`.  Subclasses may override `_compact_ready()` to delay
+    compaction (the raw stream must keep its calibration window)."""
+
+    def _buffer(self) -> np.ndarray:
+        if len(self._parts) > 1:
+            self._parts = [np.concatenate(self._parts)]
+        return self._parts[0] if self._parts else np.zeros(0, np.float32)
+
+    def _window(self, start: int, length: int) -> np.ndarray:
+        """Samples [start, start+length) in stream coordinates,
+        reflect-padded at the tail like chunk.extract_chunks."""
+        buf = self._buffer()
+        seg = buf[start - self._base_off : start - self._base_off + length]
+        if len(seg) == length:
+            return seg
+        out = np.zeros(length, np.float32)
+        out[: len(seg)] = seg
+        if len(seg) > 0:
+            refl = seg[::-1]
+            npad = length - len(seg)
+            reps = -(-npad // len(refl))
+            out[len(seg):] = np.tile(refl, reps)[:npad]
+        return out
+
+    def _compact_ready(self) -> bool:
+        return True
+
+    def _compact(self) -> None:
+        # keep everything a flush-time right-aligned final chunk could
+        # still need (f >= next_start - chunk_len)
+        if not self._compact_ready():
+            return
+        keep_from = max(self._base_off, self._next_start - self.chunk_len)
+        buf = self._buffer()
+        drop = keep_from - self._base_off
+        if drop > 0:
+            self._parts = [buf[drop:]]
+            self._base_off = keep_from
+
+
+class StreamingBasecaller(SampleBufferMixin):
     """Incremental basecaller for one read/channel.
 
     feed(samples) -> str   newly committed bases (possibly "")
@@ -136,39 +182,9 @@ class StreamingBasecaller:
 
     # ------------------------------------------------------------- buffer
 
-    def _buffer(self) -> np.ndarray:
-        if len(self._parts) > 1:
-            self._parts = [np.concatenate(self._parts)]
-        return self._parts[0] if self._parts else np.zeros(0, np.float32)
-
-    def _window(self, start: int, length: int) -> np.ndarray:
-        """Samples [start, start+length) in stream coordinates,
-        reflect-padded at the tail like chunk.extract_chunks."""
-        buf = self._buffer()
-        seg = buf[start - self._base_off : start - self._base_off + length]
-        if len(seg) == length:
-            return seg
-        out = np.zeros(length, np.float32)
-        out[: len(seg)] = seg
-        if len(seg) > 0:
-            refl = seg[::-1]
-            npad = length - len(seg)
-            reps = -(-npad // len(refl))
-            out[len(seg):] = np.tile(refl, reps)[:npad]
-        return out
-
-    def _compact(self) -> None:
-        # keep everything a flush-time right-aligned final chunk could
-        # still need (f >= next_start - chunk_len), and the calibration
-        # window until calibration has happened
-        if self._med is None and self.normalise:
-            return
-        keep_from = max(self._base_off, self._next_start - self.chunk_len)
-        buf = self._buffer()
-        drop = keep_from - self._base_off
-        if drop > 0:
-            self._parts = [buf[drop:]]
-            self._base_off = keep_from
+    def _compact_ready(self) -> bool:
+        # the calibration window must survive until calibration happens
+        return self._med is not None or not self.normalise
 
     def _maybe_calibrate(self, force: bool = False) -> None:
         if not self.normalise or self._med is not None:

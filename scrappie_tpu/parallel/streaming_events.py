@@ -39,9 +39,14 @@ import numpy as np
 from scrappie_tpu.decode.transducer import viterbi_decode_batch
 from scrappie_tpu.models.specs import NSTATE_TRANSDUCER
 from scrappie_tpu.parallel.chunk import neutral_pad_logpost
+from scrappie_tpu.parallel.streaming import SampleBufferMixin
 from scrappie_tpu.post.overlapper import kmer_len_from_nkmer, overlapper
 from scrappie_tpu.signal.events import EVENT_DETECTION_DEFAULTS, detect_events
-from scrappie_tpu.signal.features import nanonet_features_from_events
+from scrappie_tpu.signal.features import (
+    apply_feature_stats,
+    feature_stats,
+    nanonet_features_from_events,
+)
 from scrappie_tpu.types import RawSignal
 
 
@@ -63,7 +68,7 @@ def _build_events_program(min_prob: float, tempW: float, tempb: float):
     return params, posterior
 
 
-class EventsStreamingBasecaller:
+class EventsStreamingBasecaller(SampleBufferMixin):
     """Incremental events-pipeline basecaller for one read/channel.
 
     feed(samples) -> str   newly committed bases (possibly "")
@@ -111,65 +116,57 @@ class EventsStreamingBasecaller:
         self._nevent = 0
         self._done = False
 
-    # ------------------------------------------------------------- buffer
-
-    def _buffer(self) -> np.ndarray:
-        if len(self._parts) > 1:
-            self._parts = [np.concatenate(self._parts)]
-        return self._parts[0] if self._parts else np.zeros(0, np.float32)
-
-    def _window(self, start: int, length: int) -> np.ndarray:
-        buf = self._buffer()
-        seg = buf[start - self._base_off : start - self._base_off + length]
-        if len(seg) == length:
-            return seg
-        out = np.zeros(length, np.float32)
-        out[: len(seg)] = seg
-        if len(seg) > 0:
-            refl = seg[::-1]
-            npad = length - len(seg)
-            reps = -(-npad // len(refl))
-            out[len(seg):] = np.tile(refl, reps)[:npad]
-        return out
-
-    def _compact(self) -> None:
-        keep_from = max(self._base_off, self._next_start - self.chunk_len)
-        buf = self._buffer()
-        drop = keep_from - self._base_off
-        if drop > 0:
-            self._parts = [buf[drop:]]
-            self._base_off = keep_from
-
     # ------------------------------------------------------------- chunk
 
     def _prepare_chunk(self, start: int):
         """Host half of the chunk pipeline: detect events, studentise
         with the frozen stats, reflect-pad to the bucket.  Returns
         (event start samples in STREAM coords [nev], padded features
-        [event_bucket, 4], nev)."""
+        [event_bucket, 4], nev, coverage-end sample).
+
+        The coverage end is `start + chunk_len` unless the bucket
+        overflowed, in which case it is the first TRUNCATED event's
+        start — commits are capped there so the dropped region is
+        re-detected (and emitted) by the next chunk instead of being
+        silently skipped."""
         x = self._window(start, self.chunk_len)
         et = detect_events(RawSignal(x), self.detection)
         feats = nanonet_features_from_events(et, normalise=False)
         nev = len(feats)
+        cov = start + self.chunk_len
         if nev > self.event_bucket:
             from scrappie_tpu.utils.tracing import log
 
-            log("warn", "event bucket overflow; truncating chunk tail",
-                nev=nev, bucket=self.event_bucket)
+            cov = start + int(et.active["start"][self.event_bucket])
+            log("warn", "event bucket overflow; deferring chunk tail "
+                        "to the next chunk", nev=nev,
+                bucket=self.event_bucket, coverage_end=cov)
             feats = feats[: self.event_bucket]
             nev = self.event_bucket
-        if self._feat_stats is None:
-            # frozen studentisation stats: first chunk only (its window
-            # is deterministic in the signal — [0, chunk_len) or, for a
-            # short read, the single flush window)
-            m = feats.astype(np.float64).mean(axis=0)
-            v = (feats.astype(np.float64) ** 2).mean(axis=0) - m * m
-            safe = v > 0.0
-            rsd = np.where(safe, 1.0 / np.sqrt(np.where(safe, v, 1.0)), 0.0)
-            self._feat_stats = (
-                (m * rsd).astype(np.float32), rsd.astype(np.float32))
-        mrsd, rsd = self._feat_stats
-        sfeats = feats * rsd - mrsd
+        stats = self._feat_stats
+        if stats is None:
+            # Studentisation statistics, frozen from the first HEALTHY
+            # chunk (enough events, every feature informative).  A
+            # degenerate opener — e.g. a blocked pore producing one
+            # flat event, hence zero variance — must NOT freeze
+            # all-zero scales that would blank every later chunk's
+            # features; until a healthy chunk arrives, stats are
+            # per-chunk (still deterministic in the signal, so output
+            # stays increment-invariant).
+            stats = feature_stats(feats)
+            # health: enough events, every feature informative, and no
+            # pathological dwell outlier (a pore stall produces one
+            # huge event whose length/stdv dominate the variance and
+            # would mis-scale every later chunk — mean/var stats are
+            # outlier-dominated, as in the reference's whole-read
+            # studentisation)
+            lens = feats[:, 2]
+            healthy = (nev >= 32 and bool((stats[1] > 0).all())
+                       and float(lens.max()) <= 50.0 * max(
+                           float(np.median(lens)), 1.0))
+            if healthy:
+                self._feat_stats = stats
+        sfeats = apply_feature_stats(feats, stats)
 
         # reflect-pad features to the bucket so the net sees one shape;
         # pad rows have plausible statistics and are never committed
@@ -181,7 +178,7 @@ class EventsStreamingBasecaller:
                 [sfeats, np.tile(refl, (reps, 1))[:pad]]) if nev else \
                 np.zeros((self.event_bucket, 4), np.float32)
         starts = (et.active["start"][:nev].astype(np.int64) + start)
-        return starts, np.asarray(sfeats, np.float32), nev
+        return starts, np.asarray(sfeats, np.float32), nev, cov
 
     def _net_decode_single(self, sfeats: np.ndarray, nev: int):
         """Device half, batch 1: net + neutral-padded decode.  Returns
@@ -204,9 +201,9 @@ class EventsStreamingBasecaller:
 
     def _chunk_events(self, start: int):
         """Whole chunk pipeline (host prep + device decode)."""
-        starts, sfeats, nev = self._prepare_chunk(start)
+        starts, sfeats, nev, cov = self._prepare_chunk(start)
         emissions, score = self._events_fn(sfeats, nev)
-        return starts, emissions, score, nev
+        return starts, emissions, score, nev, cov
 
     def _emit(self, seg: np.ndarray) -> str:
         seg = np.asarray(seg)
@@ -279,9 +276,11 @@ class EventsStreamingBasecaller:
         return s, prep
 
     def _commit_chunk(self, s: int, starts, emissions, score: float,
-                      nev: int) -> str:
+                      nev: int, cov: int | None = None) -> str:
         hi = s + self.hop + self.overlap // 2
         lo = 0 if s == 0 else self._committed_hi
+        if cov is not None:  # bucket overflow: defer the dropped tail
+            hi = max(min(hi, cov), lo)
         bases = self._commit(starts, np.asarray(emissions), lo, hi,
                              float(score), nev)
         self._last_chunk = (starts, np.asarray(emissions), s, float(score),
@@ -293,9 +292,10 @@ class EventsStreamingBasecaller:
         self.append_samples(samples)
         out: list[str] = []
         while self._chunk_ready():
-            s, (starts, sfeats, nev) = self._reserve_chunk()
+            s, (starts, sfeats, nev, cov) = self._reserve_chunk()
             emissions, score = self._events_fn(sfeats, nev)
-            out.append(self._commit_chunk(s, starts, emissions, score, nev))
+            out.append(self._commit_chunk(s, starts, emissions, score, nev,
+                                          cov))
         return "".join(out)
 
     def flush(self) -> str:
@@ -309,7 +309,7 @@ class EventsStreamingBasecaller:
         if nsample == 0 or self._committed_hi >= nsample:
             return ""
         if self._last_chunk is None:
-            starts, emissions, score, nev = self._chunk_events(0)
+            starts, emissions, score, nev, _cov = self._chunk_events(0)
             return self._commit(starts, emissions, 0, nsample, score, nev)
         starts, emissions, prev_s, score, nev = self._last_chunk
         prev_start = self._next_start - self.hop
@@ -318,7 +318,7 @@ class EventsStreamingBasecaller:
                                 nsample, score, nev)
         f = max(0, nsample - self.chunk_len)
         f = min(f, prev_start + self.hop)
-        starts, emissions, score, nev = self._chunk_events(f)
+        starts, emissions, score, nev, _cov = self._chunk_events(f)
         return self._commit(starts, emissions, self._committed_hi, nsample,
                             score, nev)
 
@@ -350,7 +350,7 @@ class EventsStreamingBatcher:
                                    stay_pen=stay_pen, skip_pen=skip_pen,
                                    local_pen=local_pen, use_slip=use_slip)
         self._streams: dict = {}
-        self._queue: list[tuple] = []  # (key, s, starts, sfeats, nev) FIFO
+        self._queue: list[tuple] = []  # (key, s, starts, sfeats, nev, cov)
         self._outbuf: dict[object, list[str]] = {}
 
     # ------------------------------------------------------------ streams
@@ -401,11 +401,11 @@ class EventsStreamingBatcher:
             group = self._queue[: self.batch_size]
             del self._queue[: len(group)]
             outs = self._net_decode_batch(
-                np.stack([sf for *_, sf, _n in group]),
-                [n for *_, n in group])
-            for (key, s, starts, _sf, nev), (em, sc) in zip(group, outs):
+                np.stack([g[3] for g in group]),
+                [g[4] for g in group])
+            for (key, s, starts, _sf, nev, cov), (em, sc) in zip(group, outs):
                 bases = self._streams[key]._commit_chunk(s, starts, em, sc,
-                                                         nev)
+                                                         nev, cov)
                 if bases:
                     self._outbuf[key].append(bases)
 
@@ -425,8 +425,8 @@ class EventsStreamingBatcher:
         sb = self._streams[key]
         sb.append_samples(samples)
         while sb._chunk_ready():
-            s, (starts, sfeats, nev) = sb._reserve_chunk()
-            self._queue.append((key, s, starts, sfeats, nev))
+            s, (starts, sfeats, nev, cov) = sb._reserve_chunk()
+            self._queue.append((key, s, starts, sfeats, nev, cov))
         self._run_queue(everything=False)
         return self.collect(key)
 

@@ -73,11 +73,16 @@ class BasecallService:
 
             engine = BasecallEngine(model, **engine_kwargs)
         self.engine = engine
+        self.model = engine.model
         self.max_batch_reads = max_batch_reads
         self.max_wait_s = max_wait_ms / 1e3
         self.stats = {"requests": 0, "batches": 0, "engine_calls": 0}
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
+        # serialises the stop-check-then-enqueue in submit() against
+        # close() setting the flag: without it a submit could enqueue
+        # after BOTH drains and its future would never resolve
+        self._submit_lock = threading.Lock()
         self._worker_thread = threading.Thread(
             target=self._worker, name="basecall-service", daemon=True)
         self._worker_thread.start()
@@ -86,12 +91,13 @@ class BasecallService:
 
     def submit(self, signal, uuid: str | None = None, **opts) -> Future:
         """Queue one read; resolves to a runner.ReadResult."""
-        if self._stop.is_set():
-            raise RuntimeError("service is closed")
         sig = np.asarray(signal, dtype=np.float32).ravel()
         fut: Future = Future()
         key = tuple(sorted(opts.items()))
-        self._q.put((sig, uuid, key, opts, fut))
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("service is closed")
+            self._q.put((sig, uuid, key, opts, fut))
         self.stats["requests"] += 1
         return fut
 
@@ -101,10 +107,11 @@ class BasecallService:
         return self.submit(signal, uuid, **opts).result(timeout)
 
     def close(self) -> None:
-        self._stop.set()
+        with self._submit_lock:
+            self._stop.set()  # no submit can pass the check after this
         self._worker_thread.join(timeout=30)
-        # a submit() racing close() can enqueue after the worker's own
-        # drain; fail those too so no client ever hangs
+        # anything enqueued before the flag was set but after the
+        # worker's own drain is failed here; no client ever hangs
         self._drain_failed()
 
     def __enter__(self):
@@ -181,7 +188,9 @@ class StreamingService:
         self.batcher = StreamingBatcher(model, chunk_len, overlap,
                                         batch_size=batch_size,
                                         **stream_kwargs)
+        self._chunk_len, self._overlap = chunk_len, overlap
         self._batch_size = batch_size
+        self._stream_kwargs = dict(stream_kwargs)
         self._events_batcher = None  # lazy: channels opened with
         #                              pipeline="events"
         self._route: dict = {}       # key -> owning batcher
@@ -212,8 +221,17 @@ class StreamingService:
                         EventsStreamingBatcher,
                     )
 
+                    # same chunk geometry + decode kwargs as the raw
+                    # batcher so both pipelines honour the server config
+                    # (raw-only kwargs like normalise/calib_samples are
+                    # filtered: the events pipeline has no analogue)
+                    shared = {k: v for k, v in self._stream_kwargs.items()
+                              if k in ("min_prob", "tempW", "tempb",
+                                       "stay_pen", "skip_pen", "local_pen",
+                                       "use_slip")}
                     self._events_batcher = EventsStreamingBatcher(
-                        batch_size=self._batch_size)
+                        self._chunk_len, max(self._overlap, 1),
+                        batch_size=self._batch_size, **shared)
                 bat = self._events_batcher
             else:
                 raise ValueError(f"unknown pipeline {pipeline!r}")
@@ -341,7 +359,7 @@ def make_server(host: str = "127.0.0.1", port: int = 0,
     service = service or BasecallService(**service_kwargs)
     server = _Server((host, port), _Handler)
     server.service = service
-    server._default_model = service_kwargs.get("model", "rgrgr_r94")
+    server._default_model = service.model  # honours an injected service
     server._service_kwargs = dict(service_kwargs)
     server._model_services = {}
     server._ss = None

@@ -12,13 +12,11 @@ from scrappie_tpu.types import EventTable, RawSignal
 from scrappie_tpu.utils.maths import madf
 
 
-def studentise_features(feats: np.ndarray) -> np.ndarray:
-    """Per-feature studentisation across events (float64 accumulation).
-
-    Matches ref src/nnfeatures.c:46-72, except the reference uses an
-    *approximate* reciprocal square root (_mm_rsqrt_ps, ~1e-3 relative
-    error): we use the exact value, so features agree to ~1e-3 relative.
-    """
+def feature_stats(feats: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Studentisation statistics (m*rsd, rsd) per feature column
+    (float64 accumulation; see studentise_features for semantics).
+    Also used by the streaming events pipeline, which freezes these
+    from its first healthy chunk."""
     m = feats.astype(np.float64).mean(axis=0)
     v = (feats.astype(np.float64) ** 2).mean(axis=0) - m * m
     # A (near-)constant column has v <= 0 up to cancellation; the
@@ -28,8 +26,23 @@ def studentise_features(feats: np.ndarray) -> np.ndarray:
     # information: studentise it to exactly 0 instead.
     safe = v > 0.0
     rsd = np.where(safe, 1.0 / np.sqrt(np.where(safe, v, 1.0)), 0.0)
-    return ((feats * rsd.astype(np.float32))
-            - (m * rsd).astype(np.float32)).astype(np.float32)
+    return (m * rsd).astype(np.float32), rsd.astype(np.float32)
+
+
+def apply_feature_stats(feats: np.ndarray,
+                        stats: tuple[np.ndarray, np.ndarray]) -> np.ndarray:
+    mrsd, rsd = stats
+    return (feats * rsd - mrsd).astype(np.float32)
+
+
+def studentise_features(feats: np.ndarray) -> np.ndarray:
+    """Per-feature studentisation across events (float64 accumulation).
+
+    Matches ref src/nnfeatures.c:46-72, except the reference uses an
+    *approximate* reciprocal square root (_mm_rsqrt_ps, ~1e-3 relative
+    error): we use the exact value, so features agree to ~1e-3 relative.
+    """
+    return apply_feature_stats(feats, feature_stats(feats))
 
 
 def nanonet_features_from_events(et: EventTable, normalise: bool = True) -> np.ndarray:

@@ -278,8 +278,8 @@ def test_tcp_live_events_pipeline(sim_reads):
                 bases += r["bases"]
             r = rpc({"op": "flush", "channel": "e"})
             bases += r["bases"]
-        # events batcher defaults: chunk 10000 / overlap 2000
-        solo = EventsStreamingBasecaller(10000, 2000)
+        # the events batcher inherits the SERVER's chunk geometry
+        solo = EventsStreamingBasecaller(2000, 400)
         solo.feed(sig)
         solo.flush()
         assert bases == solo.sequence and bases

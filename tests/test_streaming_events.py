@@ -126,3 +126,21 @@ def test_events_batcher_decode_pending():
     solo.feed(sig)
     solo.flush()
     assert got == solo.sequence
+
+
+def test_events_stream_degenerate_first_chunk():
+    """A flat (blocked-pore) opening chunk must NOT freeze zero-variance
+    studentisation stats that would blank every later chunk's features."""
+    sig, _ = _sim_read(nbase=1400, seed=47)
+    flat = np.full(CHUNK, 42.0, np.float32)
+    sb = EventsStreamingBasecaller(CHUNK, OV)
+    sb.feed(flat)
+    # degenerate (single zero-variance event): must NOT freeze
+    assert sb._feat_stats is None
+    sb.feed(sig)
+    # a pure-real chunk (no stall-event outlier) eventually freezes
+    assert sb._feat_stats is not None
+    sb.flush()
+    # the healthy region still basecalls (old behaviour: poisoned
+    # scales forever -> near-empty or constant garbage output)
+    assert len(sb.sequence) > 700
