@@ -10,6 +10,7 @@ Steps (each prints a PASS/FAIL line):
   2. Pallas-vs-scan decode parity on device (tests/test_ops.py subset)
   3. engine end-to-end benchmark (scripts/bench_engine.py, both modes)
   4. streaming + serving suites on the device backend
+  5. live-streaming throughput bench (raw + events batchers)
 
 Usage: python scripts/tpu_validate.py [--allow-cpu]
 """
@@ -75,7 +76,11 @@ def main() -> int:
               [sys.executable, "scripts/bench_engine.py"], 1200)
     ok &= run("streaming-serving",
               [sys.executable, "-m", "pytest", "-q",
-               "tests/test_streaming.py", "tests/test_serve.py"], 1800)
+               "tests/test_streaming.py", "tests/test_streaming_events.py",
+               "tests/test_serve.py"], 1800)
+    ok &= run("stream-bench",
+              [sys.executable, "scripts/bench_stream.py", "--seconds", "15"],
+              900)
     print("ALL PASS" if ok else "FAILURES above")
     return 0 if ok else 1
 
