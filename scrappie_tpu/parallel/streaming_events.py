@@ -14,10 +14,13 @@ EVENT START SAMPLE at the raw geometry's overlap-midpoint boundaries:
     resets at every emitted peak, so interior events match whole-read
     detection; only events near chunk edges can differ, and those are
     never committed);
-  - features are studentised with statistics FROZEN from the first
-    chunk (the batch pipeline studentises over the whole read, which a
-    stream cannot; the window is deterministic in the signal, so
-    output stays increment-invariant);
+  - features are studentised with PREFIX statistics — running mean/var
+    over all events seen so far — converging to the whole-read
+    statistics the batch pipeline uses (which a stream cannot know
+    up front); chunk boundaries are fixed stream coordinates, so the
+    stats are deterministic in the signal and output stays
+    increment-invariant (`stats_mode="frozen"` keeps the round-2
+    frozen-first-chunk behaviour);
   - per-chunk event counts vary, so features are reflect-padded and
     the log-posterior neutral-padded to a fixed event bucket — one
     compile for every chunk;
@@ -81,7 +84,7 @@ class EventsStreamingBasecaller(SampleBufferMixin):
                  min_prob: float = 1e-5, tempW: float = 1.0,
                  tempb: float = 1.0, stay_pen: float = 0.0,
                  skip_pen: float = 0.0, local_pen: float = 2.0,
-                 use_slip: bool = False,
+                 use_slip: bool = False, stats_mode: str = "prefix",
                  detection=EVENT_DETECTION_DEFAULTS, events_fn=None):
         if not 0 < overlap < chunk_len:
             raise ValueError("need 0 < overlap < chunk_len")
@@ -94,6 +97,9 @@ class EventsStreamingBasecaller(SampleBufferMixin):
         self._decode_args = (float(stay_pen), float(skip_pen),
                              float(local_pen), bool(use_slip))
         self._posterior_opts = (float(min_prob), float(tempW), float(tempb))
+        if stats_mode not in ("prefix", "frozen"):
+            raise ValueError(f"unknown stats_mode {stats_mode!r}")
+        self._stats_mode = stats_mode
         self._trim_left = int(trim_start)
         # events_fn: injected device half (EventsStreamingBatcher)
         # mapping (padded feats, nev) -> (emissions [nev], score);
@@ -111,6 +117,11 @@ class EventsStreamingBasecaller(SampleBufferMixin):
         self._last_chunk = None          # (starts, emissions, s, score, nev)
         self._last_kmer: int | None = None
         self._feat_stats = None          # frozen (m*rsd, rsd) float32 [4]
+        # prefix mode: running moment accumulators over every healthy
+        # prepared chunk's events (float64, like feature_stats)
+        self._stats_n = 0
+        self._stats_s1 = np.zeros(4, np.float64)
+        self._stats_s2 = np.zeros(4, np.float64)
         self._seq_parts: list[str] = []
         self._score = 0.0
         self._nevent = 0
@@ -143,30 +154,7 @@ class EventsStreamingBasecaller(SampleBufferMixin):
                 bucket=self.event_bucket, coverage_end=cov)
             feats = feats[: self.event_bucket]
             nev = self.event_bucket
-        stats = self._feat_stats
-        if stats is None:
-            # Studentisation statistics, frozen from the first HEALTHY
-            # chunk (enough events, every feature informative).  A
-            # degenerate opener — e.g. a blocked pore producing one
-            # flat event, hence zero variance — must NOT freeze
-            # all-zero scales that would blank every later chunk's
-            # features; until a healthy chunk arrives, stats are
-            # per-chunk (still deterministic in the signal, so output
-            # stays increment-invariant).
-            stats = feature_stats(feats)
-            # health: enough events, every feature informative, and no
-            # pathological dwell outlier (a pore stall produces one
-            # huge event whose length/stdv dominate the variance and
-            # would mis-scale every later chunk — mean/var stats are
-            # outlier-dominated, as in the reference's whole-read
-            # studentisation)
-            lens = feats[:, 2]
-            healthy = (nev >= 32 and bool((stats[1] > 0).all())
-                       and float(lens.max()) <= 50.0 * max(
-                           float(np.median(lens)), 1.0))
-            if healthy:
-                self._feat_stats = stats
-        sfeats = apply_feature_stats(feats, stats)
+        sfeats = apply_feature_stats(feats, self._select_stats(feats, nev))
 
         # reflect-pad features to the bucket so the net sees one shape;
         # pad rows have plausible statistics and are never committed
@@ -179,6 +167,63 @@ class EventsStreamingBasecaller(SampleBufferMixin):
                 np.zeros((self.event_bucket, 4), np.float32)
         starts = (et.active["start"][:nev].astype(np.int64) + start)
         return starts, np.asarray(sfeats, np.float32), nev, cov
+
+    @staticmethod
+    def _chunk_healthy(feats: np.ndarray, nev: int) -> bool:
+        """No pathological dwell outlier: a pore stall produces one huge
+        event whose length/stdv would dominate mean/var statistics (they
+        are outlier-dominated, as in the reference's whole-read
+        studentisation, ref src/nnfeatures.c:46-72)."""
+        if nev < 1:
+            return False
+        lens = feats[:nev, 2]
+        return float(lens.max()) <= 50.0 * max(float(np.median(lens)), 1.0)
+
+    def _select_stats(self, feats: np.ndarray, nev: int):
+        """Studentisation statistics for this chunk's features.
+
+        Both modes are deterministic in the signal prefix — chunk start
+        positions are fixed stream coordinates — so output stays
+        increment-invariant either way.
+
+        'prefix' (default): running mean/var over every healthy prepared
+        chunk's events so far, converging to the whole-read statistics
+        the batch pipeline uses (worth +0.03/+0.05 identity there;
+        measured streaming gain in BASELINE.md).  Events in chunk
+        overlaps are counted once per preparation; the double count is
+        deterministic and statistically harmless.
+
+        'frozen': statistics frozen from the first HEALTHY chunk (enough
+        events, every feature informative) — the round-2 behaviour, kept
+        for comparison.  A degenerate opener — e.g. a blocked pore
+        producing one flat event, hence zero variance — must NOT freeze
+        all-zero scales that would blank every later chunk's features;
+        until a healthy chunk arrives, stats are per-chunk."""
+        if self._stats_mode == "prefix":
+            # nev >= 32 makes the median in the dwell guard meaningful
+            # (a stalled chunk's single huge event IS its own median)
+            if nev >= 32 and self._chunk_healthy(feats, nev):
+                f64 = feats[:nev].astype(np.float64)
+                self._stats_n += nev
+                self._stats_s1 += f64.sum(axis=0)
+                self._stats_s2 += (f64 * f64).sum(axis=0)
+            if self._stats_n >= 32:
+                m = self._stats_s1 / self._stats_n
+                v = self._stats_s2 / self._stats_n - m * m
+                if (v > 0.0).all():
+                    rsd = 1.0 / np.sqrt(v)
+                    return (m * rsd).astype(np.float32), rsd.astype(np.float32)
+            # degenerate opening (few/stalled/constant events): fall back
+            # to per-chunk stats until the accumulator is informative
+            return feature_stats(feats)
+        stats = self._feat_stats
+        if stats is None:
+            stats = feature_stats(feats)
+            healthy = (nev >= 32 and bool((stats[1] > 0).all())
+                       and self._chunk_healthy(feats, nev))
+            if healthy:
+                self._feat_stats = stats
+        return stats
 
     def _net_decode_single(self, sfeats: np.ndarray, nev: int):
         """Device half, batch 1: net + neutral-padded decode.  Returns

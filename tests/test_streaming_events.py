@@ -128,19 +128,59 @@ def test_events_batcher_decode_pending():
     assert got == solo.sequence
 
 
-def test_events_stream_degenerate_first_chunk():
-    """A flat (blocked-pore) opening chunk must NOT freeze zero-variance
-    studentisation stats that would blank every later chunk's features."""
+@pytest.mark.parametrize("mode", ["prefix", "frozen"])
+def test_events_stream_degenerate_first_chunk(mode):
+    """A flat (blocked-pore) opening chunk must NOT poison the
+    studentisation statistics: frozen mode must not freeze zero-variance
+    scales that would blank every later chunk's features; prefix mode
+    must not accumulate the stall's single huge event."""
     sig, _ = _sim_read(nbase=1400, seed=47)
     flat = np.full(CHUNK, 42.0, np.float32)
-    sb = EventsStreamingBasecaller(CHUNK, OV)
+    sb = EventsStreamingBasecaller(CHUNK, OV, stats_mode=mode)
     sb.feed(flat)
-    # degenerate (single zero-variance event): must NOT freeze
-    assert sb._feat_stats is None
+    if mode == "frozen":
+        # degenerate (single zero-variance event): must NOT freeze
+        assert sb._feat_stats is None
+    else:
+        # the stall event must NOT enter the running accumulators
+        assert sb._stats_n == 0
     sb.feed(sig)
-    # a pure-real chunk (no stall-event outlier) eventually freezes
-    assert sb._feat_stats is not None
+    if mode == "frozen":
+        # a pure-real chunk (no stall-event outlier) eventually freezes
+        assert sb._feat_stats is not None
+    else:
+        assert sb._stats_n >= 32
     sb.flush()
     # the healthy region still basecalls (old behaviour: poisoned
     # scales forever -> near-empty or constant garbage output)
     assert len(sb.sequence) > 700
+
+
+def test_events_stream_prefix_default_and_invariance():
+    """Default stats_mode is 'prefix'; output is increment-invariant and
+    in the same accuracy class as frozen mode on a simulated read (the
+    real-read gain is recorded in BASELINE.md)."""
+    import Levenshtein
+
+    sig, truth = _sim_read(nbase=900, seed=49)
+    sb = EventsStreamingBasecaller(CHUNK, OV)
+    assert sb._stats_mode == "prefix"
+    sb.feed(sig)
+    sb.flush()
+    # invariance across a different feed split
+    sb2 = EventsStreamingBasecaller(CHUNK, OV)
+    for i in range(0, len(sig), 777):
+        sb2.feed(sig[i:i + 777])
+    sb2.flush()
+    assert sb.sequence == sb2.sequence
+
+    def ident(a, b):
+        return 1.0 - Levenshtein.distance(a, b) / max(len(a), len(b), 1)
+
+    fz = EventsStreamingBasecaller(CHUNK, OV, stats_mode="frozen")
+    fz.feed(sig)
+    fz.flush()
+    assert ident(sb.sequence, truth) > ident(fz.sequence, truth) - 0.02
+
+    with pytest.raises(ValueError):
+        EventsStreamingBasecaller(CHUNK, OV, stats_mode="whole")
