@@ -303,19 +303,23 @@ def main_events(args) -> int:
     import json
 
     from scrappie_tpu.api import basecall_events
-    from scrappie_tpu.io.fast5 import iterate_fast5, read_raw
+    from scrappie_tpu.io.fast5 import iterate_fast5, read_raw_all
     from scrappie_tpu.io.fasta import format_sam
 
     files = iterate_fast5(args.files)
     if args.limit:
         files = files[: args.limit]
     fh = _out(args)
+    reads: list = []
     for f in files:
         try:
-            rs = read_raw(f)
+            sigs = read_raw_all(f)
         except Exception as e:
             print(f"Failed to read {f}: {e}", file=sys.stderr)
             continue
+        reads.extend((f if len(sigs) == 1 else f"{f}:{rs.uuid}", rs)
+                     for rs in sigs)
+    for f, rs in reads:
         seq, score, et, start, end = basecall_events(
             rs.raw, trim_start=args.trim[0], trim_end=args.trim[1],
             varseg_chunk=args.segmentation[0], varseg_thresh=args.segmentation[1],
@@ -470,17 +474,21 @@ def main_seqmappy(args) -> int:
 
 
 def main_event_table(args) -> int:
-    from scrappie_tpu.io.fast5 import iterate_fast5, read_raw
+    from scrappie_tpu.io.fast5 import iterate_fast5, read_raw_all
     from scrappie_tpu.signal.events import detect_events
     from scrappie_tpu.signal.trim import trim_and_segment_raw
 
     fh = _out(args)
+    reads: list = []
     for f in iterate_fast5(args.files):
         try:
-            rs = read_raw(f)
+            sigs = read_raw_all(f)
         except Exception as e:
             print(f"Failed to read {f}: {e}", file=sys.stderr)
             continue
+        reads.extend((f if len(sigs) == 1 else f"{f}:{rs.uuid}", rs)
+                     for rs in sigs)
+    for f, rs in reads:
         rt = trim_and_segment_raw(rs, args.trim[0], args.trim[1],
                                   args.segmentation[0], args.segmentation[1])
         if rt is None:

@@ -3,6 +3,12 @@
 Behavioural spec: ref src/fast5_interface.c.  Reads the first read under
 /Raw/Reads, scales ADC counts to picoamps using the channel metadata,
 and can write annotated event tables back (compressed, chunked).
+
+Beyond the reference: MULTI-read fast5 files (the post-2018 MinKNOW
+bulk format — top-level ``read_<uuid>`` groups, per-read channel
+metadata — which the reference predates) are handled transparently by
+``read_raw_all``; the basecall engine and CLI emit one record per
+contained read.
 """
 
 from __future__ import annotations
@@ -32,6 +38,53 @@ def read_raw(filename, scale_to_pA: bool = True) -> RawSignal:
             raw_unit = float(meta["range"]) / float(meta["digitisation"])
             sig = (sig + float(meta["offset"])) * raw_unit
     return RawSignal(sig, uuid=uuid)
+
+
+def _scale_pA(sig: np.ndarray, meta) -> np.ndarray:
+    raw_unit = float(meta["range"]) / float(meta["digitisation"])
+    return (sig + float(meta["offset"])) * raw_unit
+
+
+def read_raw_all(filename, scale_to_pA: bool = True,
+                 limit: int = 0) -> list[RawSignal]:
+    """Every read in a fast5 file, single- or multi-read layout.
+
+    Single-read files (the only layout the reference supports, ref
+    src/fast5_interface.c:130-217) yield one signal.  Multi-read files
+    — top-level ``read_<uuid>`` groups each carrying ``Raw/Signal`` and
+    their own ``channel_id`` metadata — yield one signal per read, in
+    sorted group order.  ``limit`` caps the number of reads (0 = all).
+    """
+    import h5py
+
+    from scrappie_tpu.utils.chaos import maybe_fail
+
+    maybe_fail("fast5.read_raw")
+    out: list[RawSignal] = []
+    with h5py.File(filename, "r") as h:
+        if "Raw/Reads" in h:               # single-read layout
+            return [read_raw(filename, scale_to_pA=scale_to_pA)]
+        for name in sorted(h.keys()):
+            if not name.startswith("read_"):
+                continue
+            grp = h[name]
+            if "Raw/Signal" not in grp:
+                continue
+            sig = grp["Raw/Signal"][()].astype(np.float32)
+            uuid = grp["Raw"].attrs.get("read_id")
+            if isinstance(uuid, bytes):
+                uuid = uuid.decode()
+            if uuid is None:
+                uuid = name[len("read_"):]
+            if scale_to_pA:
+                sig = _scale_pA(sig, grp["channel_id"].attrs)
+            out.append(RawSignal(sig, uuid=uuid))
+            if limit and len(out) >= limit:
+                break
+    if not out:
+        raise ValueError(f"{filename}: no reads found (neither Raw/Reads "
+                         "nor read_<uuid> groups)")
+    return out
 
 
 def read_scaling(filename) -> dict:

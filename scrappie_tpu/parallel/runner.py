@@ -504,7 +504,11 @@ class BasecallEngine:
         return results
 
     def basecall_files(self, paths, limit: int = 0, **kwargs) -> list[tuple[str, ReadResult]]:
-        from scrappie_tpu.io.fast5 import iterate_fast5, read_raw
+        """Basecall every read in every file (multi-read fast5 files
+        contribute one result per contained read, named
+        ``<path>:<read_id>``; ``limit`` caps the number of FILES, as the
+        reference's analogous --limit does)."""
+        from scrappie_tpu.io.fast5 import iterate_fast5, read_raw_all
 
         files = iterate_fast5(paths)
         if limit:
@@ -513,8 +517,10 @@ class BasecallEngine:
         names = []
         for f in files:
             try:
-                signals.append(read_raw(f, scale_to_pA=True))
-                names.append(str(f))
+                sigs = read_raw_all(f, scale_to_pA=True)
+                signals.extend(sigs)
+                names.extend([str(f)] if len(sigs) == 1 else
+                             [f"{f}:{s.uuid}" for s in sigs])
             except Exception as e:  # per-read error isolation (ref :397-400)
                 import sys
 
