@@ -24,11 +24,16 @@ Latency/throughput contract:
     known.
 
 Normalisation: the batch pipeline med-mad-normalises the whole read
-(ref src/util.c:190), which a stream cannot do.  Instead the scale is
-calibrated once from the first `min(calib_samples, chunk_len)` samples
-(a window deterministic in the signal alone) and then frozen
-— the behaviour of a live channel calibrated on its opening window.
-Pass `normalise=False` to feed pre-normalised signal.
+(ref src/util.c:190), which a stream cannot do.  The default
+`calib_mode="prefix"` recalibrates each chunk with the med-mad of a
+strided reservoir over ALL samples seen so far — deterministic in the
+signal prefix (chunk starts are fixed stream coordinates), so output
+stays increment-invariant, and converging to the batch engine's
+whole-read scale (the frozen opening-window calibration was the entire
+streaming-vs-engine accuracy gap; BASELINE.md).  `calib_mode="frozen"`
+keeps the opening-window behaviour: scale from the first
+`min(calib_samples, chunk_len)` samples, then frozen.  Pass
+`normalise=False` to feed pre-normalised signal.
 
 For many concurrent channels, `StreamingBatcher` coalesces ready
 chunks across channels into [batch_size, chunk_len] device batches —
@@ -49,6 +54,10 @@ from scrappie_tpu.utils.maths import madf, medianf
 
 NBASE = 4
 _CRF_BASES = np.array(list("ACGT"))
+# prefix-calibration reservoir keeps every 4th stream sample; med-mad
+# of an AR(1)-correlated squiggle subsampled 4x matches the full
+# estimate to well under the decode's sensitivity
+_RES_STRIDE = 4
 
 
 def _build_posterior(model: str, min_prob: float, tempW: float, tempb: float):
@@ -141,7 +150,8 @@ class StreamingBasecaller(SampleBufferMixin):
 
     def __init__(self, model: str = "rgrgr_r94", chunk_len: int = 10000,
                  overlap: int = 1000, *, normalise: bool = True,
-                 calib_samples: int = 8000, min_prob: float = 1e-5,
+                 calib_mode: str = "prefix", calib_samples: int = 8000,
+                 min_prob: float = 1e-5,
                  tempW: float = 1.0, tempb: float = 1.0, stay_pen: float = 0.0,
                  skip_pen: float = 0.0, local_pen: float = 2.0,
                  use_slip: bool = False, decode_fn=None,
@@ -156,6 +166,9 @@ class StreamingBasecaller(SampleBufferMixin):
         self.chunk_len, self.overlap = chunk_len, overlap
         self.hop = chunk_len - overlap
         self.normalise = normalise
+        if calib_mode not in ("prefix", "frozen"):
+            raise ValueError(f"unknown calib_mode {calib_mode!r}")
+        self.calib_mode = calib_mode
         self.calib_samples = calib_samples
         self._decode_args = (float(stay_pen), float(skip_pen),
                              float(local_pen), bool(use_slip))
@@ -176,6 +189,9 @@ class StreamingBasecaller(SampleBufferMixin):
         self._last_chunk = None              # (emissions, f_blk, score)
         self._last_kmer: int | None = None   # kmer context across commits
         self._med = self._mad = None
+        # prefix calibration reservoir: every _RES_STRIDE-th stream
+        # sample (deterministic in the signal; ~25% of the read)
+        self._res_parts: list[np.ndarray] = []
         self._seq_parts: list[str] = []
         self._score = 0.0
         self._done = False
@@ -183,11 +199,31 @@ class StreamingBasecaller(SampleBufferMixin):
     # ------------------------------------------------------------- buffer
 
     def _compact_ready(self) -> bool:
-        # the calibration window must survive until calibration happens
-        return self._med is not None or not self.normalise
+        # frozen mode: the calibration window must survive until
+        # calibration happens (prefix mode keeps its own reservoir)
+        return (self.calib_mode == "prefix" or self._med is not None
+                or not self.normalise)
+
+    def _prefix_medmad(self, upto: int) -> tuple[float, float]:
+        """(median, mad) over the reservoir samples with stream index
+        < `upto` — a deterministic function of the signal prefix, so
+        per-chunk calibration stays increment-invariant.  Converges to
+        the batch engine's whole-read med-mad as the stream grows."""
+        if len(self._res_parts) > 1:
+            self._res_parts = [np.concatenate(self._res_parts)]
+        res = self._res_parts[0] if self._res_parts else np.zeros(0, np.float32)
+        # reservoir sample i sits at stream index i * _RES_STRIDE
+        n_use = min(len(res), -(-upto // _RES_STRIDE))
+        if n_use == 0:
+            return 0.0, 1.0
+        win = res[:n_use]
+        med = medianf(win)
+        mad = madf(win, med)
+        return med, (mad if mad > 0 else 1.0)
 
     def _maybe_calibrate(self, force: bool = False) -> None:
-        if not self.normalise or self._med is not None:
+        if not self.normalise or self._med is not None \
+                or self.calib_mode == "prefix":
             return
         if self._nfed >= self.calib_samples or force:
             # Deterministic in the signal alone (NOT in feed() split
@@ -212,10 +248,14 @@ class StreamingBasecaller(SampleBufferMixin):
 
     def _chunk_input(self, start: int) -> np.ndarray:
         """Normalised [chunk_len] window for the chunk at `start`."""
-        self._maybe_calibrate(force=True)
         x = self._window(start, self.chunk_len)
         if self.normalise:
-            x = (x - self._med) / self._mad
+            if self.calib_mode == "prefix":
+                med, mad = self._prefix_medmad(start + self.chunk_len)
+            else:
+                self._maybe_calibrate(force=True)
+                med, mad = self._med, self._mad
+            x = (x - med) / mad
         return np.asarray(x, np.float32)
 
     def _reserve_chunk(self) -> tuple[int, np.ndarray]:
@@ -330,6 +370,12 @@ class StreamingBasecaller(SampleBufferMixin):
             samples = samples[drop:]
             self._trim_left -= drop
         if len(samples):
+            if self.normalise and self.calib_mode == "prefix":
+                # stream indices [_nfed, _nfed+n): keep those ≡ 0 (mod
+                # stride), independent of how the feed was split
+                off = (-self._nfed) % _RES_STRIDE
+                if off < len(samples):
+                    self._res_parts.append(samples[off::_RES_STRIDE])
             self._parts.append(samples)
             self._nfed += len(samples)
 

@@ -254,3 +254,41 @@ def test_raw_kind_streaming():
         sb2.feed(sig[i : i + 631])
     sb2.flush()
     assert sb1.sequence == sb2.sequence and len(sb1.sequence) > 50
+
+
+def test_prefix_calibration_default_and_modes():
+    """Default calib_mode is 'prefix': per-chunk med-mad over a strided
+    reservoir of the whole signal prefix (closes the frozen-window
+    accuracy gap, BASELINE.md).  Both modes are increment-invariant;
+    frozen stays available; compaction still bounds the raw buffer."""
+    from scrappie_tpu.parallel.streaming import StreamingBasecaller
+
+    sig, _ = _sim_read()
+    sb = StreamingBasecaller("rgrgr_r94", CHUNK, OV)
+    assert sb.calib_mode == "prefix"
+    sb.feed(sig)
+    sb.flush()
+
+    # invariance across a different split (prefix reservoir must not
+    # depend on feed boundaries)
+    sb2 = StreamingBasecaller("rgrgr_r94", CHUNK, OV)
+    for i in range(0, len(sig), 611):
+        sb2.feed(sig[i:i + 611])
+    sb2.flush()
+    assert sb.sequence == sb2.sequence and sb.sequence
+
+    # the raw buffer is compacted even though calibration never freezes
+    sb3 = StreamingBasecaller("rgrgr_r94", CHUNK, OV)
+    sb3.feed(sig)
+    assert sb3._base_off > 0  # compaction happened
+    # reservoir is the strided prefix
+    assert sum(len(p) for p in sb3._res_parts) == -(-len(sig) // 4)
+
+    # frozen mode still selectable and distinct state
+    fz = StreamingBasecaller("rgrgr_r94", CHUNK, OV, calib_mode="frozen")
+    fz.feed(sig)
+    fz.flush()
+    assert fz._med is not None and fz.sequence
+
+    with pytest.raises(ValueError):
+        StreamingBasecaller("rgrgr_r94", CHUNK, OV, calib_mode="whole")
