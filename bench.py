@@ -120,14 +120,16 @@ def main():
     )
 
     if on_device:
+        import functools
+
         from scrappie_tpu.ops.pipeline import rgrgr_basecall_fused
 
-        @jax.jit
-        def pipeline(params, sigs):
+        @functools.partial(jax.jit, static_argnames=("prec_name",))
+        def pipeline(params, sigs, prec_name="highest"):
             return jax.lax.map(
                 lambda s: rgrgr_basecall_fused(
                     params, s, conv_activation=spec.conv_activation,
-                    stride=spec.stride),
+                    stride=spec.stride, prec_name=prec_name),
                 sigs,
             )
     else:
@@ -147,34 +149,59 @@ def main():
                 sigs,
             )
 
-    # Warmup / compile.  One tiny host transfer forces completion (the
-    # tunneled TPU's block_until_ready is unreliable; every transfer is
-    # one ~30ms round trip, so sync on a single element only).
-    for _ in range(warmup):
-        score, path = pipeline(params, sigs)
-        np.asarray(score.ravel()[0])
+    from scrappie_tpu.nn import config as nn_config
 
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        score, path = pipeline(params, sigs)
-        np.asarray(score.ravel()[0])
-        times.append(time.perf_counter() - t0)
+    def measure(prec_name=None):
+        """Best-of-iters samples/s at the given kernel precision.
 
-    best = min(times)
-    samples = groups * batch * CHUNK_LEN
-    sps = samples / best
+        Warmup compiles; one tiny host transfer forces completion (the
+        tunneled TPU's block_until_ready is unreliable; every transfer
+        is one ~30ms round trip, so sync on a single element only).
+        """
+        if on_device:
+            call = lambda: pipeline(params, sigs, prec_name=prec_name)
+        else:
+            call = lambda: pipeline(params, sigs)
+        for _ in range(warmup):
+            score, path = call()
+            np.asarray(score.ravel()[0])
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            score, path = call()
+            np.asarray(score.ravel()[0])
+            times.append(time.perf_counter() - t0)
+        return groups * batch * CHUNK_LEN / min(times)
+
+    if on_device:
+        # Headline: the bf16 production fast path (one MXU pass).  The
+        # exactness-critical Viterbi expansion matmuls stay exact
+        # regardless (ops/viterbi.py), and measured real-read basecall
+        # identity is unchanged vs exact f32 (BASELINE.md: 0.751/0.799
+        # bf16 vs 0.750/0.799 f32 on the bundled truth reads).
+        with nn_config.precision("default"):
+            sps = measure("default")
+        with nn_config.precision("highest"):
+            sps_exact = measure("highest")
+    else:
+        sps = measure()
+        sps_exact = sps
+
     result = {
-        "metric": "rgrgr_r94 raw samples/sec/chip (fused conv+GRU+posterior+Viterbi decode)",
+        "metric": "rgrgr_r94 raw samples/sec/chip (fused conv+GRU+posterior+Viterbi decode, bf16 fast path)",
         "value": round(sps, 1),
         "unit": "samples/s",
         "vs_baseline": round(sps / BASELINE_CPU_SAMPLES_PER_SEC, 2),
+        "exact_f32_samples_per_sec": round(sps_exact, 1),
+        "precision": "bf16 matmuls, f32 accumulation; real-read identity unchanged vs f32 (BASELINE.md)",
     }
     if not on_device:
         result["platform"] = "cpu"
+        result["precision"] = "f32 (precision flags are no-ops on the CPU backend)"
         result["note"] = ("TPU tunnel unreachable at bench time; this is the "
                           "lax.scan path on one CPU core. Device-verified TPU "
-                          "number: ~67M samples/s (BENCH_r01.json, BASELINE.md).")
+                          "numbers: 92.2M samples/s bf16 / 67.1M exact f32 "
+                          "(BENCH_r01.json, BASELINE.md).")
     print(json.dumps(result))
 
 

@@ -51,6 +51,15 @@ def _add_common(p, trim_default="200:10"):
                    metavar="chunk:percentile",
                    help="Chunk size and percentile for variance based segmentation")
     p.add_argument("--licence", "--license", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--precision", choices=["highest", "default", "bf16"],
+                   default=None,
+                   help="Matmul precision policy: 'highest' (exact f32, "
+                        "reference parity — the default), 'default' (the "
+                        "backend's fast path: one bf16 MXU pass on TPU), "
+                        "'bf16' (explicit bf16 operand rounding on any "
+                        "backend). Real-read accuracy is unchanged at bf16 "
+                        "(BASELINE.md). Also settable as "
+                        "SCRAPPIE_TPU_PRECISION.")
 
 
 def _add_basecall_common(p):
@@ -522,6 +531,11 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     parser = build_parser()
     args = parser.parse_args(argv)
+
+    if getattr(args, "precision", None):
+        from scrappie_tpu.nn.config import set_precision
+
+        set_precision(args.precision)
 
     if getattr(args, "licence", False) or args.command in ("licence", "license"):
         print(LICENCE)

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from scrappie_tpu.nn.config import get_precision
+from scrappie_tpu.nn.config import get_precision, pconv_operands, pdot
 import numpy as np
 
 
@@ -41,7 +41,7 @@ def robustlog(x, min_prob: float):
 
 def feedforward(x, W, b):
     """Affine map y = x @ W + b (ref affine_map, src/scrappie_matrix.c:323)."""
-    return jnp.dot(x, W, preferred_element_type=jnp.float32, precision=get_precision()) + b
+    return pdot(x, W) + b
 
 
 def feedforward2_tanh(xf, xb, Wf, Wb, b):
@@ -50,8 +50,8 @@ def feedforward2_tanh(xf, xb, Wf, Wb, b):
     (ref affine_map2 + tanh, src/scrappie_matrix.c:353 / layers.c:359)
     """
     return jnp.tanh(
-        jnp.dot(xf, Wf, preferred_element_type=jnp.float32, precision=get_precision())
-        + jnp.dot(xb, Wb, preferred_element_type=jnp.float32, precision=get_precision())
+        pdot(xf, Wf)
+        + pdot(xb, Wb)
         + b
     )
 
@@ -84,6 +84,7 @@ def conv1d(x, W, b, stride: int):
         x = x[None]
     winlen = W.shape[0]
     padL, padR = conv_same_pad(x.shape[-2], winlen, stride)
+    x, W = pconv_operands(x, W)
     out = jax.lax.conv_general_dilated(
         x,
         W,

@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from scrappie_tpu.nn.config import get_precision
+from scrappie_tpu.nn.config import pdot
 
 
 def _scan_time_major(step, x, h0, reverse: bool):
@@ -42,11 +42,11 @@ def gru(x, sW, sW2, reverse: bool = False):
     size = sW2.shape[1]
 
     def step(h, xt):
-        zr = jax.nn.sigmoid(xt[..., : 2 * size] + jnp.dot(h, sW, preferred_element_type=jnp.float32, precision=get_precision()))
+        zr = jax.nn.sigmoid(xt[..., : 2 * size] + pdot(h, sW))
         z = zr[..., :size]
         r = zr[..., size:]
         hbar = jnp.tanh(
-            xt[..., 2 * size :] + jnp.dot(r * h, sW2, preferred_element_type=jnp.float32, precision=get_precision())
+            xt[..., 2 * size :] + pdot(r * h, sW2)
         )
         h_new = z * h + (1 - z) * hbar
         return h_new, h_new
@@ -66,7 +66,7 @@ def grumod(x, sW, reverse: bool = False):
     size = sW.shape[0]
 
     def step(h, xt):
-        rec = jnp.dot(h, sW, preferred_element_type=jnp.float32, precision=get_precision())
+        rec = pdot(h, sW)
         zr = jax.nn.sigmoid(xt[..., : 2 * size] + rec[..., : 2 * size])
         z = zr[..., :size]
         r = zr[..., size:]
@@ -91,7 +91,7 @@ def lstm(x, sW, peep, reverse: bool = False):
 
     def step(carry, xt):
         h, c = carry
-        xF = xt + jnp.dot(h, sW, preferred_element_type=jnp.float32, precision=get_precision())
+        xF = xt + pdot(h, sW)
         forget = jax.nn.sigmoid(xF[..., 2 * size : 3 * size] + c * p_forget) * c
         update = jax.nn.sigmoid(xF[..., size : 2 * size] + c * p_in) * jnp.tanh(
             xF[..., :size]
