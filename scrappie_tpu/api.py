@@ -188,14 +188,24 @@ def decode_post(post: Posterior, model: str = "rgrgr_r94", **kwargs):
     return dec(post, **kwargs)
 
 
-def basecall_raw(data, model: str = "rgrgr_r94", with_base_probs: bool = False, **kwargs):
+def basecall_raw(data, model: str = "rgrgr_r94", with_base_probs: bool = False,
+                 calibration: str = "reference", **kwargs):
     """Trim, scale, run the network, decode — one read end to end.
 
     Returns (sequence, score, block positions, trim start, trim end,
     base probs or None); ref basecall_raw, python/scrappy/__init__.py:403-430.
+    ``calibration="real"`` fills the measured real-read decode preset
+    (models/calibration.py) for any knob not passed explicitly.
     """
     if with_base_probs and model != "rnnrf_r94":
         raise ValueError("Base probabilities can only be returned for model 'rnnrf_r94'.")
+    if calibration != "reference":
+        from scrappie_tpu.models import calibration as _calibration
+
+        for key, value in _calibration.preset(model, calibration).items():
+            # the CRF decoder spells the emit-bias knob `emit_bias`
+            kwargs.setdefault("emit_bias" if key == "crf_emit_bias" else key,
+                              value)
 
     raw = RawTable(data)
     raw.trim().scale()

@@ -104,6 +104,13 @@ def build_parser():
     raw.add_argument("--homopolymer", "-H", default="mean",
                      choices=["nochange", "mean"],
                      help="Homopolymer run calc. (not implemented for CRF)")
+    raw.add_argument("--calibration", choices=["reference", "real"],
+                     default="reference",
+                     help="Decode calibration preset: 'reference' keeps the "
+                          "reference's zero penalties; 'real' applies the "
+                          "per-model stay/skip (or CRF emit-bias) optimum "
+                          "measured on the bundled real reads (BASELINE.md). "
+                          "Explicit --stay/--skip/--crf-emit-bias flags win.")
     raw.add_argument("--crf-emit-bias", type=float, default=0.0,
                      help="CRF decode calibration: additive bias on "
                           "transitions into emitting states (rnnrf only; "
@@ -230,6 +237,9 @@ def main_raw(args) -> int:
         homopolymer=None if args.model == "rnnrf_r94" else args.homopolymer,
         crf_emit_bias=args.crf_emit_bias,
     )
+    from scrappie_tpu.models import calibration
+
+    calibration.apply(args.model, args.calibration, call_kwargs)
     fh = _out(args)
     nread = 0
 

@@ -1,0 +1,65 @@
+"""Measured real-read decode calibration presets.
+
+The shipped raw models are trained on simulated squiggles, and on the
+bundled real reads every one of them calls too many stays (the
+sim-trained translocation statistics undercall real signal).  A joint
+stay-penalty x skip-penalty grid on the whole-read posterior of both
+bundled truth reads (BASELINE.md, "Decode calibration") found a
+consistent optimum per model; for the CRF model the working knob is the
+additive emit bias instead (temperature is a no-op on CRF Viterbi).
+
+The reference has no such presets — its decode penalties default to 0
+and users tune by hand (ref src/scrappie_raw.c:98-121 defaults).  We
+keep those exact semantics as the default and expose the measured
+optima behind ``--calibration real`` / ``calibration="real"`` so the
+numbers in BASELINE.md are one flag away instead of folklore.
+
+The presets are fit to only two reads; the *direction* (positive stay
+penalty) is consistent across all models and both reads, the exact
+values are point estimates.  Models without a measured grid (events)
+have no preset and pass through unchanged.
+"""
+
+from __future__ import annotations
+
+#: Reference defaults for every knob a preset may touch.  A preset only
+#: fills a knob that still holds its reference default, so an explicit
+#: user flag always wins (an explicit flag *equal to* the reference
+#: default is indistinguishable and also gets the preset).
+REFERENCE_DEFAULTS: dict[str, float] = {
+    "stay_pen": 0.0,
+    "skip_pen": 0.0,
+    "crf_emit_bias": 0.0,
+}
+
+#: model -> decode-kwarg overrides, from the BASELINE.md grids
+#: (whole-read posterior, reads ch174/ch271; identity at the optimum vs
+#: the (0,0) default is quoted in BASELINE.md).
+REAL_CALIBRATION: dict[str, dict[str, float]] = {
+    "rgrgr_r94": {"stay_pen": 0.5, "skip_pen": 0.5},
+    "raw_r94": {"stay_pen": 1.0, "skip_pen": 0.0},
+    "rgrgr_r941": {"stay_pen": 1.0, "skip_pen": 0.0},
+    "rgrgr_r10": {"stay_pen": 1.0, "skip_pen": 0.5},
+    "rnnrf_r94": {"crf_emit_bias": -2.0},
+}
+
+PRESETS = ("reference", "real")
+
+
+def preset(model: str, calibration: str = "reference") -> dict[str, float]:
+    """The decode-kwarg overrides for ``model`` under ``calibration``."""
+    if calibration not in PRESETS:
+        raise ValueError(
+            f"unknown calibration {calibration!r} (choose from {PRESETS})")
+    if calibration == "reference":
+        return {}
+    return dict(REAL_CALIBRATION.get(model, {}))
+
+
+def apply(model: str, calibration: str, kwargs: dict) -> dict:
+    """Fill preset values into ``kwargs`` for knobs left at their
+    reference defaults; returns ``kwargs`` (mutated in place)."""
+    for key, value in preset(model, calibration).items():
+        if kwargs.get(key, REFERENCE_DEFAULTS[key]) == REFERENCE_DEFAULTS[key]:
+            kwargs[key] = value
+    return kwargs

@@ -18,7 +18,9 @@ Two surfaces:
 Wire protocol (one JSON object per line, UTF-8):
   request  {"id": "...", "signal": [f32, ...]}            or
            {"id": "...", "signal_b64": "<base64 f32 LE>"}
-           optional: "opts": {basecall_signals kwargs: local_pen, ...}
+           optional: "opts": {basecall_signals kwargs: local_pen, ...;
+           plus "calibration": "real" -> measured per-model decode
+           preset, models/calibration.py}
            optional: "model": "rnnrf_r94" — route to another model's
            service (built lazily; default = the server's --model)
   response {"id": "...", "sequence": "ACGT...", "score": -12.3,
@@ -90,7 +92,19 @@ class BasecallService:
     # --------------------------------------------------------------- API
 
     def submit(self, signal, uuid: str | None = None, **opts) -> Future:
-        """Queue one read; resolves to a runner.ReadResult."""
+        """Queue one read; resolves to a runner.ReadResult.
+
+        A ``calibration`` opt ("reference"/"real") expands into the
+        measured per-model decode preset (models/calibration.py) before
+        batching, so calibrated and explicit-knob requests that resolve
+        to the same options still share an engine call.
+        """
+        calibration = opts.pop("calibration", "reference")
+        if calibration != "reference":
+            from scrappie_tpu.models import calibration as _calibration
+
+            for key, value in _calibration.preset(self.model, calibration).items():
+                opts.setdefault(key, value)
         sig = np.asarray(signal, dtype=np.float32).ravel()
         fut: Future = Future()
         key = tuple(sorted(opts.items()))

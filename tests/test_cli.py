@@ -108,6 +108,17 @@ def test_raw_fasta(reads_dir):
     assert set(seq) <= set("ACGT") and len(seq) == meta["sequence_length"]
 
 
+def test_raw_calibration_preset(reads_dir):
+    """--calibration real == the explicit measured knobs (BASELINE.md),
+    and both differ from the reference-default call."""
+    cal = run_cli("raw", "--calibration", "real", SMALL_FAST5)
+    explicit = run_cli("raw", "--stay", "0.5", "--skip", "0.5", SMALL_FAST5)
+    default = run_cli("raw", SMALL_FAST5)
+    assert cal.returncode == explicit.returncode == default.returncode == 0
+    assert cal.stdout.splitlines()[1:] == explicit.stdout.splitlines()[1:]
+    assert cal.stdout.splitlines()[1] != default.stdout.splitlines()[1]
+
+
 def test_raw_sam_crf(reads_dir):
     r = run_cli("raw", "--model", "rnnrf_r94", "-f", "sam", SMALL_FAST5)
     assert r.returncode == 0, r.stderr
