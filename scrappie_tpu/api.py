@@ -221,14 +221,22 @@ def basecall_raw(data, model: str = "rgrgr_r94", with_base_probs: bool = False,
 def basecall_events(data, *, trim_start=200, trim_end=10, varseg_chunk=100,
                     varseg_thresh=0.0, min_prob=1e-5, tempW=1.0, tempb=1.0,
                     stay_pen=0.0, skip_pen=0.0, local_pen=2.0, use_slip=False,
-                    dwell_correction=True):
+                    dwell_correction=True, calibration: str = "reference"):
     """Events pipeline: event detection -> nanonet biLSTM -> transducer
     decode -> optional dwell homopolymer correction.
 
     Mirrors the `scrappie events` calculate_post flow
     (ref src/scrappie_events.c:271-344).  Returns (sequence, score,
     annotated EventTable, trim start, trim end).
+    ``calibration="real"`` fills the measured stay/skip preset for
+    knobs left at their reference defaults (models/calibration.py).
     """
+    if calibration != "reference":
+        from scrappie_tpu.models import calibration as _calibration
+
+        knobs = _calibration.apply("nanonet_events", calibration,
+                                   {"stay_pen": stay_pen, "skip_pen": skip_pen})
+        stay_pen, skip_pen = knobs["stay_pen"], knobs["skip_pen"]
     from scrappie_tpu.post.homopolymer import homopolymer_dwell_correction
     from scrappie_tpu.signal.events import detect_events
     from scrappie_tpu.signal.features import nanonet_features_from_events

@@ -63,8 +63,11 @@ def _add_common(p, trim_default="200:10"):
 
 
 def _add_basecall_common(p):
-    p.add_argument("--format", "-f", choices=["fasta", "sam"], default="fasta",
-                   type=str.lower, help="Format to output reads (FASTA or SAM)")
+    p.add_argument("--format", "-f", choices=["fasta", "sam", "fastq"],
+                   default="fasta", type=str.lower,
+                   help="Format to output reads (FASTA or SAM as in the "
+                        "reference; FASTQ adds per-base Phred qualities "
+                        "from the block posteriors — raw models only)")
     p.add_argument("--limit", "-l", type=int, default=0,
                    help="Maximum number of reads to call (0 is unlimited)")
     p.add_argument("--min_prob", "-m", type=float, default=1e-5,
@@ -87,6 +90,13 @@ def _add_basecall_common(p):
     p.add_argument("--no-uuid", dest="uuid", action="store_false")
     p.add_argument("--threads", "-#", type=int, default=None,
                    help="(compatibility) parallelism hint; maps to device batch")
+    p.add_argument("--calibration", choices=["reference", "real"],
+                   default="reference",
+                   help="Decode calibration preset: 'reference' keeps the "
+                        "reference's zero penalties; 'real' applies the "
+                        "per-model stay/skip (or CRF emit-bias) optimum "
+                        "measured on the bundled real reads (BASELINE.md). "
+                        "Explicit --stay/--skip/--crf-emit-bias flags win.")
 
 
 def build_parser():
@@ -104,13 +114,6 @@ def build_parser():
     raw.add_argument("--homopolymer", "-H", default="mean",
                      choices=["nochange", "mean"],
                      help="Homopolymer run calc. (not implemented for CRF)")
-    raw.add_argument("--calibration", choices=["reference", "real"],
-                     default="reference",
-                     help="Decode calibration preset: 'reference' keeps the "
-                          "reference's zero penalties; 'real' applies the "
-                          "per-model stay/skip (or CRF emit-bias) optimum "
-                          "measured on the bundled real reads (BASELINE.md). "
-                          "Explicit --stay/--skip/--crf-emit-bias flags win.")
     raw.add_argument("--crf-emit-bias", type=float, default=0.0,
                      help="CRF decode calibration: additive bias on "
                           "transitions into emitting states (rnnrf only; "
@@ -217,8 +220,13 @@ def build_parser():
 
 
 def main_raw(args) -> int:
-    from scrappie_tpu.io.fasta import format_fasta, format_sam
+    from scrappie_tpu.io.fasta import format_fasta, format_fastq, format_sam
     from scrappie_tpu.parallel.runner import BasecallEngine
+
+    if args.format == "fastq" and args.fast:
+        print("--format fastq needs whole-read posteriors; "
+              "incompatible with --fast", file=sys.stderr)
+        return 1
 
     import contextlib
 
@@ -236,6 +244,7 @@ def main_raw(args) -> int:
         use_slip=args.use_slip,
         homopolymer=None if args.model == "rnnrf_r94" else args.homopolymer,
         crf_emit_bias=args.crf_emit_bias,
+        with_qualities=args.format == "fastq",
     )
     from scrappie_tpu.models import calibration
 
@@ -257,8 +266,16 @@ def main_raw(args) -> int:
                                       nblock=r.nblock, nsample=r.nsample,
                                       trim=(r.trim_start, r.trim_end),
                                       prefix=args.prefix))
+            elif args.format == "fastq":
+                fh.write(format_fastq(primary, r.sequence, r.qual or "",
+                                      filename=name, uuid=r.uuid or "",
+                                      score=r.score, nblock=r.nblock,
+                                      nsample=r.nsample,
+                                      trim=(r.trim_start, r.trim_end),
+                                      prefix=args.prefix))
             else:
-                fh.write(format_sam(primary, r.sequence, prefix=args.prefix))
+                fh.write(format_sam(primary, r.sequence, prefix=args.prefix,
+                                    qual=r.qual))
         fh.flush()
         return n
 
@@ -325,6 +342,11 @@ def main_events(args) -> int:
     from scrappie_tpu.io.fast5 import iterate_fast5, read_raw_all
     from scrappie_tpu.io.fasta import format_sam
 
+    if args.format == "fastq":
+        print("--format fastq is only available for `raw` (the events "
+              "pipeline corrects dwell after decoding, which invalidates "
+              "block-posterior qualities)", file=sys.stderr)
+        return 1
     files = iterate_fast5(args.files)
     if args.limit:
         files = files[: args.limit]
@@ -338,13 +360,17 @@ def main_events(args) -> int:
             continue
         reads.extend((f if len(sigs) == 1 else f"{f}:{rs.uuid}", rs)
                      for rs in sigs)
+    from scrappie_tpu.models import calibration
+
+    call_kwargs = calibration.apply("nanonet_events", args.calibration, dict(
+        stay_pen=args.stay_pen, skip_pen=args.skip_pen, local_pen=args.local_pen))
     for f, rs in reads:
         seq, score, et, start, end = basecall_events(
             rs.raw, trim_start=args.trim[0], trim_end=args.trim[1],
             varseg_chunk=args.segmentation[0], varseg_thresh=args.segmentation[1],
             min_prob=args.min_prob, tempW=args.temperature1, tempb=args.temperature2,
-            stay_pen=args.stay_pen, skip_pen=args.skip_pen, local_pen=args.local_pen,
             use_slip=args.use_slip, dwell_correction=args.dwell_correction,
+            **call_kwargs,
         )
         if seq is None:
             print(f"No basecall for {f}", file=sys.stderr)

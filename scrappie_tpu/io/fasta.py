@@ -91,6 +91,25 @@ def format_fasta(name: str, seq: str, *, filename: str = "", uuid: str = "",
     return f">{prefix}{name}  {json.dumps(meta)}\n{seq}\n"
 
 
-def format_sam(name: str, seq: str, prefix: str = "") -> str:
-    """Unaligned SAM record (ref fprintf_sam, src/scrappie_raw.c:327-331)."""
-    return f"{prefix}{name}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq}\t*\n"
+def format_sam(name: str, seq: str, prefix: str = "",
+               qual: str | None = None) -> str:
+    """Unaligned SAM record (ref fprintf_sam, src/scrappie_raw.c:327-331).
+
+    The reference hard-codes QUAL to "*"; we fill it when per-base
+    qualities were computed (post/quality.py)."""
+    return (f"{prefix}{name}\t4\t*\t0\t0\t*\t*\t0\t0\t{seq}\t"
+            f"{qual or '*'}\n")
+
+
+def format_fastq(name: str, seq: str, qual: str, *, filename: str = "",
+                 uuid: str = "", score: float = 0.0, nblock: int = 0,
+                 nsample: int = 0, trim: tuple[int, int] = (0, 0),
+                 prefix: str = "") -> str:
+    """FASTQ record (no reference analogue — scrappie emits FASTA/SAM
+    only); carries the same JSON metadata in the title line and
+    Phred+33 qualities from post/quality.py."""
+    fasta = format_fasta(name, seq, filename=filename, uuid=uuid, score=score,
+                         nblock=nblock, nsample=nsample, trim=trim,
+                         prefix=prefix)
+    title, _ = fasta[1:].split("\n", 1)
+    return f"@{title}\n{seq}\n+\n{qual}\n"

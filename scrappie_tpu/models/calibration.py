@@ -16,8 +16,8 @@ numbers in BASELINE.md are one flag away instead of folklore.
 
 The presets are fit to only two reads; the *direction* (positive stay
 penalty) is consistent across all models and both reads, the exact
-values are point estimates.  Models without a measured grid (events)
-have no preset and pass through unchanged.
+values are point estimates.  Models without a measured grid have no
+preset and pass through unchanged.
 """
 
 from __future__ import annotations
@@ -34,13 +34,25 @@ REFERENCE_DEFAULTS: dict[str, float] = {
 
 #: model -> decode-kwarg overrides, from the BASELINE.md grids
 #: (whole-read posterior, reads ch174/ch271; identity at the optimum vs
-#: the (0,0) default is quoted in BASELINE.md).
+#: the (0,0) default is quoted in BASELINE.md).  Refit with
+#: scripts/calibrate_decode.py whenever shipped weights change — the
+#: rnnrf optimum moved from -2.0 to -1.0 when its weights were
+#: checkpoint-averaged.
+#: Robustness rule: on reads the grid never saw, a positive skip
+#: penalty can collapse the whole call into the decoder's local
+#: start/end states (measured on the third bundled read: events
+#: (1.5, 0.5) called 88 bases instead of ~1900, rgrgr_r10 (1.0, 0.5)
+#: 436 instead of ~2000 — BASELINE.md).  Where a skip>0 grid point was
+#: only statistically tied with its skip=0 neighbour, the preset ships
+#: the skip=0 point; rgrgr_r94's (0.5, 0.5) is kept because it is
+#: well-behaved on that read and strictly best on the truth reads.
 REAL_CALIBRATION: dict[str, dict[str, float]] = {
     "rgrgr_r94": {"stay_pen": 0.5, "skip_pen": 0.5},
     "raw_r94": {"stay_pen": 1.0, "skip_pen": 0.0},
     "rgrgr_r941": {"stay_pen": 1.0, "skip_pen": 0.0},
-    "rgrgr_r10": {"stay_pen": 1.0, "skip_pen": 0.5},
-    "rnnrf_r94": {"crf_emit_bias": -2.0},
+    "rgrgr_r10": {"stay_pen": 1.0, "skip_pen": 0.0},
+    "rnnrf_r94": {"crf_emit_bias": -1.0},
+    "nanonet_events": {"stay_pen": 1.0, "skip_pen": 0.0},
 }
 
 PRESETS = ("reference", "real")

@@ -46,6 +46,7 @@ class ReadResult:
     trim_start: int
     trim_end: int
     nsample: int
+    qual: str | None = None  # Phred+33, only with with_qualities=True
 
 
 def _round_up(x: int, m: int) -> int:
@@ -356,7 +357,8 @@ class BasecallEngine:
                          stay_pen=0.0, skip_pen=0.0, local_pen=2.0,
                          use_slip=False,
                          homopolymer: HomopolymerMode | str | None = None,
-                         crf_emit_bias: float = 0.0) -> list[ReadResult]:
+                         crf_emit_bias: float = 0.0,
+                         with_qualities: bool = False) -> list[ReadResult]:
         # 1. host-side preprocess + chunk planning.  Per-read error
         # isolation: a failed read (bad data, injected chaos fault)
         # only warns and the batch continues, mirroring the reference
@@ -409,6 +411,11 @@ class BasecallEngine:
 
                 log("warn", "fast mode cannot apply homopolymer correction "
                             "(needs whole-read posteriors); skipping")
+            if with_qualities:
+                from scrappie_tpu.utils.tracing import log
+
+                log("warn", "fast mode cannot compute per-base qualities "
+                            "(posterior never reaches the host); skipping")
             with self.stage("decode_fused"):
                 flat = np.concatenate(all_chunks, axis=0)
                 scores, paths = self._decode_chunks_fused(
@@ -437,7 +444,7 @@ class BasecallEngine:
         # default production path.  Falls through to the host path for
         # CRF models and posterior-mean homopolymer correction.
         hp_none = homopolymer in (None, "nochange", HomopolymerMode.NOCHANGE)
-        if self.spec.kind != "rnnrf" and hp_none:
+        if self.spec.kind != "rnnrf" and hp_none and not with_qualities:
             decoded_map = self._stitch_decode_device(
                 prepped, all_chunks, stay_pen, skip_pen, local_pen, use_slip)
             results = []
@@ -490,8 +497,17 @@ class BasecallEngine:
             lp, (rs2, rt, plan), (score, path) = next(out_iter)
             nblock = lp.shape[0]
             pos = np.zeros(nblock + 1, dtype=np.int64)
+            qual = None
             if self.spec.kind == "rnnrf":
                 seq = crfpath_to_basecall(path[: nblock + 1], pos)
+                if with_qualities and seq:
+                    # exact per-base state posterior; the emit-bias
+                    # decode calibration does not alter the model's
+                    # reported confidence
+                    from scrappie_tpu.decode.crf import posterior_crf
+                    from scrappie_tpu.post.quality import crf_qualities
+
+                    qual = crf_qualities(posterior_crf(lp), path[: nblock + 1])
             else:
                 path = np.asarray(path).copy()
                 if homopolymer is not None:
@@ -499,8 +515,12 @@ class BasecallEngine:
                             if isinstance(homopolymer, str) else homopolymer)
                     path = homopolymer_path(lp, path, mode)
                 seq = overlapper(path, lp.shape[1] - 1, pos)
+                if with_qualities and seq:
+                    from scrappie_tpu.post.quality import transducer_qualities
+
+                    qual = transducer_qualities(lp, path)
             results.append(ReadResult(rt.uuid, seq, score, nblock, pos,
-                                      rt.start, rt.end, rt.n))
+                                      rt.start, rt.end, rt.n, qual))
         return results
 
     def basecall_files(self, paths, limit: int = 0, **kwargs) -> list[tuple[str, ReadResult]]:

@@ -1,0 +1,97 @@
+"""Per-base quality scores from block posteriors (host-side).
+
+The reference emits FASTA/SAM with no qualities (ref fprintf_fasta /
+fprintf_sam, src/scrappie_raw.c:317-331; SAM QUAL is hard-coded "*").
+Modern pipelines expect FASTQ, so we derive per-base confidences from
+the posteriors the decoders already produce:
+
+- transducer models: each emitted base gets the emitting block's
+  posterior marginal of *that base at its kmer position* — the kmer
+  posterior reshaped to [4]*klen and summed over the other positions,
+  renormalised over the kmer states (the Viterbi path already decided
+  this block moves, so stay mass is conditioned away).  Emission
+  layout mirrors post/overlapper.py: the first non-stay block emits
+  its kmer whole, each later one its `o` overlap bases.  Using the
+  whole-kmer marginal instead is far too pessimistic (neighbouring
+  kmers share the base being called); the per-position marginal is a
+  confidence proxy, not a calibrated error rate.
+- CRF model (rnnrf): exact per-base state posterior from
+  forward-backward (decode/crf.posterior_crf) at each emitting block.
+
+Qualities are Phred+33; the error floor is 1e-6 (cap Q60).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from scrappie_tpu.post.overlapper import (
+    NBASE,
+    kmer_len_from_nkmer,
+    overlap_lengths,
+)
+
+_MIN_ERR = 1e-6  # Phred cap: Q60
+
+
+def phred_string(p_correct: np.ndarray) -> str:
+    """Phred+33 encode per-base correctness probabilities."""
+    p_err = np.maximum(1.0 - np.asarray(p_correct, dtype=np.float64), _MIN_ERR)
+    q = np.clip(np.round(-10.0 * np.log10(p_err)), 0, 93).astype(np.int64)
+    return (q + 33).astype(np.uint8).tobytes().decode("ascii")
+
+
+def transducer_qualities(logpost: np.ndarray, path: np.ndarray) -> str | None:
+    """Qualities matching overlapper(path, nstate-1) base for base.
+
+    logpost [nblock, nstate] log-posterior; path is the decoder's
+    (nblock+1)-entry Viterbi path (-1 = stay): entry b >= 1 was decoded
+    from posterior row b-1, entry 0 is the traceback's initial kmer
+    (no posterior row of its own — row 0's marginal is the closest
+    proxy).  Returns None when the path emits nothing (overlapper
+    parity).
+    """
+    path = np.asarray(path)
+    nonstay = path >= 0
+    if not nonstay.any():
+        return None
+    blocks = np.flatnonzero(nonstay)
+    kmers = path[blocks].astype(np.int64)
+    nkmer = logpost.shape[1] - 1  # stay = last column
+    klen = kmer_len_from_nkmer(nkmer)
+
+    # per-position base marginals of each emitting block's kmer
+    # posterior, renormalised over the kmer states: [n, klen, NBASE]
+    rows = np.maximum(blocks - 1, 0)
+    pk = np.exp(logpost[rows, :nkmer].astype(np.float64))
+    pk /= pk.sum(-1, keepdims=True)
+    pk = pk.reshape(len(rows), *([NBASE] * klen))
+    marg = np.stack(
+        [pk.sum(axis=tuple(a for a in range(1, klen + 1) if a != j + 1))
+         for j in range(klen)], axis=1)
+
+    # emission layout of post/overlapper._emit_bases: first kmer whole,
+    # then the `o` overlap bases (the kmer's last `o` positions) of
+    # each following kmer
+    counts = np.concatenate([[klen], overlap_lengths(kmers, klen)])
+    which = np.repeat(np.arange(len(kmers)), counts)
+    starts = np.cumsum(counts) - counts
+    within = np.arange(counts.sum()) - starts[which]
+    kpos = klen - counts[which] + within
+    digits = (kmers[which] >> (2 * (klen - 1 - kpos))) & 3
+    return phred_string(marg[which, kpos, digits])
+
+
+def crf_qualities(posterior: np.ndarray, path: np.ndarray,
+                  npos: int | None = None) -> str | None:
+    """Qualities matching crfpath_to_basecall(path, npos=npos).
+
+    posterior [nblock+1, nstate] forward-backward probabilities (one
+    row per block boundary, decode/crf.posterior_crf); path aligns row
+    for row and only its first npos (default len-1) entries emit.
+    """
+    path = np.asarray(path)[: len(path) - 1 if npos is None else npos]
+    emit = np.flatnonzero(path < NBASE)
+    if emit.size == 0:
+        return None
+    return phred_string(posterior[emit, path[emit]])

@@ -26,6 +26,7 @@ Wire protocol (one JSON object per line, UTF-8):
   response {"id": "...", "sequence": "ACGT...", "score": -12.3,
             "nblock": 123, "nsample": 61500}               or
            {"id": "...", "error": "..."}
+           (+ "qual": Phred+33 string when opts.with_qualities)
 
 Live channels (incremental signal, parallel/streaming.py) use the same
 connection with an "op" field; channel names are scoped per connection
@@ -305,6 +306,8 @@ class _Handler(socketserver.StreamRequestHandler):
                                 "score": (None if res.score != res.score
                                           else res.score),
                                 "nblock": res.nblock, "nsample": res.nsample}
+                        if res.qual is not None:  # opts.with_qualities
+                            resp["qual"] = res.qual
                     elif op == "stats":
                         resp = {"id": rid, **self.server.service.stats}
                     else:  # live channel ops, namespaced per connection

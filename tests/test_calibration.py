@@ -26,11 +26,15 @@ def test_preset_real_per_model():
         "stay_pen": 1.0, "skip_pen": 0.0}
     assert calibration.preset("rgrgr_r941", "real") == {
         "stay_pen": 1.0, "skip_pen": 0.0}
+    # skip=0 robustness point, not the raw grid optimum (see module doc)
     assert calibration.preset("rgrgr_r10", "real") == {
-        "stay_pen": 1.0, "skip_pen": 0.5}
-    # the CRF model's knob is the emit bias, not stay/skip
-    assert calibration.preset("rnnrf_r94", "real") == {"crf_emit_bias": -2.0}
-    # no measured grid for events -> no preset
+        "stay_pen": 1.0, "skip_pen": 0.0}
+    # the CRF model's knob is the emit bias, not stay/skip (refit at
+    # -1.0 for the checkpoint-averaged weights — BASELINE.md)
+    assert calibration.preset("rnnrf_r94", "real") == {"crf_emit_bias": -1.0}
+    assert calibration.preset("nanonet_events", "real") == {
+        "stay_pen": 1.0, "skip_pen": 0.0}
+    # unknown model -> no preset
     assert calibration.preset("events", "real") == {}
 
 
@@ -83,11 +87,52 @@ def test_api_basecall_raw_expands_preset(monkeypatch):
     assert seen["rgrgr_r94"]["skip_pen"] == 0.5
 
     api.basecall_raw(sig, model="rnnrf_r94", calibration="real")
-    assert seen["rnnrf_r94"] == {"emit_bias": -2.0}
+    assert seen["rnnrf_r94"] == {"emit_bias": -1.0}
 
     # explicit kwarg beats the preset
     api.basecall_raw(sig, model="rgrgr_r94", calibration="real", stay_pen=9.0)
     assert seen["rgrgr_r94"]["stay_pen"] == 9.0
+
+
+def test_api_basecall_events_calibration(monkeypatch):
+    """basecall_events(calibration="real") decodes with the events
+    preset; an explicit stay_pen wins."""
+    from scrappie_tpu import api
+
+    seen = []
+
+    def fake_decode(lp, stay_pen, skip_pen, local_pen, use_slip):
+        seen.append((stay_pen, skip_pen))
+        return -1.0, np.full(lp.shape[0] + 1, -1, dtype=np.int64)
+
+    monkeypatch.setattr(api, "decode_transducer", fake_decode)
+    sig = np.random.default_rng(2).standard_normal(4000).astype(np.float32)
+    api.basecall_events(sig, calibration="real")
+    api.basecall_events(sig, calibration="real", stay_pen=9.0)
+    assert seen == [(1.0, 0.0), (9.0, 0.0)]
+
+
+def test_cli_events_parser_accepts_calibration():
+    from scrappie_tpu.cli.main import build_parser
+
+    args = build_parser().parse_args(["events", "--calibration", "real", "x"])
+    assert args.calibration == "real"
+
+
+def test_real_preset_does_not_collapse_unseen_read():
+    """Regression: skip_pen>0 grid optima collapsed the third bundled
+    read (no truth) into the decoder's local states — events (1.5,0.5)
+    called 88 bases instead of ~1900 (BASELINE.md).  The shipped preset
+    must keep every model's call within a sane length band on it."""
+    from scrappie_tpu import api
+    from scrappie_tpu.io.fast5 import read_raw
+
+    sig = read_raw("/root/reference/reads/read_ch228_file118.fast5",
+                   scale_to_pA=True).raw
+    seq_ev, *_ = api.basecall_events(sig, calibration="real")
+    assert len(seq_ev) > 1000, f"events preset collapsed: {len(seq_ev)} bases"
+    seq_r10 = api.basecall_raw(sig, model="rgrgr_r10", calibration="real")[0]
+    assert len(seq_r10) > 1000, f"r10 preset collapsed: {len(seq_r10)} bases"
 
 
 def test_serve_submit_expands_preset():

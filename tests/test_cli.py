@@ -119,6 +119,22 @@ def test_raw_calibration_preset(reads_dir):
     assert cal.stdout.splitlines()[1] != default.stdout.splitlines()[1]
 
 
+def test_raw_fastq(reads_dir):
+    r = run_cli("raw", "-f", "fastq", SMALL_FAST5)
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert len(lines) == 4 and lines[0].startswith("@") and lines[2] == "+"
+    assert len(lines[3]) == len(lines[1]) and set(lines[1]) <= set("ACGT")
+    # same basecall as FASTA (qualities must not change decoding)
+    fa = run_cli("raw", SMALL_FAST5)
+    assert lines[1] == fa.stdout.splitlines()[1]
+
+
+def test_raw_fastq_incompatible_modes(reads_dir):
+    assert run_cli("raw", "-f", "fastq", "--fast", SMALL_FAST5).returncode == 1
+    assert run_cli("events", "-f", "fastq", SMALL_FAST5).returncode == 1
+
+
 def test_raw_sam_crf(reads_dir):
     r = run_cli("raw", "--model", "rnnrf_r94", "-f", "sam", SMALL_FAST5)
     assert r.returncode == 0, r.stderr

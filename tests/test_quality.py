@@ -1,0 +1,109 @@
+"""Per-base qualities + FASTQ output (post/quality.py, io/fasta.py).
+
+The reference has no FASTQ/qualities at all (SAM QUAL is hard-coded
+"*", ref src/scrappie_raw.c:327-331); these are a new surface.  Checks:
+Phred encoding, the base-for-base match between emitted sequence and
+quality string for both decoder families, engine plumbing (qualities
+force the host-posterior path and must not change the basecall), and
+the FASTQ record shape.
+"""
+
+import numpy as np
+import pytest
+
+from scrappie_tpu.post.quality import (
+    crf_qualities,
+    phred_string,
+    transducer_qualities,
+)
+
+
+def test_phred_string_values():
+    # -10*log10(0.1) = 10 -> '+' ; 0.01 -> 20 -> '5'; exact 1.0 caps at Q60
+    assert phred_string(np.array([0.9, 0.99, 1.0])) == "+5]"
+    assert phred_string(np.array([0.0])) == "!"  # Q0
+
+
+def test_transducer_qualities_match_overlapper():
+    """Each emitted base carries its emitting block's state posterior."""
+    from scrappie_tpu.post.overlapper import overlapper
+
+    rng = np.random.default_rng(0)
+    nstate = 4**2 + 1  # klen=2 kmers + stay
+    nblock = 40
+    logits = rng.standard_normal((nblock, nstate))
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    path = rng.integers(-1, nstate - 1, size=nblock)
+    path[0] = 5  # ensure at least one emission
+    seq = overlapper(path, nstate - 1, None)
+    qual = transducer_qualities(lp, path)
+    assert len(qual) == len(seq)
+    # first kmer (path[0], no posterior row of its own -> row 0) emits
+    # itself whole; each base carries the per-position base marginal of
+    # row 0's kmer posterior, renormalised over the 16 kmers
+    pk = np.exp(lp[0, :16])
+    m = (pk / pk.sum()).reshape(4, 4)
+    d0, d1 = (path[0] >> 2) & 3, path[0] & 3
+    assert qual[:2] == phred_string(np.array([m.sum(1)[d0], m.sum(0)[d1]]))
+
+
+def test_transducer_qualities_all_stay_is_none():
+    lp = np.full((5, 17), -np.log(17))
+    assert transducer_qualities(lp, np.full(5, -1)) is None
+
+
+def test_crf_qualities_match_basecall():
+    from scrappie_tpu.decode.crf import crfpath_to_basecall
+
+    rng = np.random.default_rng(1)
+    nblock = 30
+    path = rng.integers(0, 5, size=nblock + 1)
+    path[0] = 2  # at least one emission
+    post = rng.random((nblock + 1, 5))
+    post /= post.sum(-1, keepdims=True)
+    seq = crfpath_to_basecall(path)
+    qual = crf_qualities(post, path)
+    assert len(qual) == len(seq)
+    # only the first nblock entries emit; expected = posterior of each
+    # emitting state
+    emit = np.flatnonzero(path[:nblock] < 4)
+    assert qual == phred_string(post[emit, path[emit]])
+
+
+@pytest.fixture(scope="module")
+def sim_read():
+    from scrappie_tpu.train.simulate import SquiggleSimulator
+
+    sig, _, _ = SquiggleSimulator(seed=5).simulate_read(350)
+    return np.asarray(sig, np.float32)
+
+
+@pytest.mark.parametrize("model", ["rgrgr_r94", "rnnrf_r94"])
+def test_engine_with_qualities(model, sim_read):
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.types import RawSignal
+
+    eng = BasecallEngine(model, chunk_len=2000, overlap=400, batch_size=2)
+    base = eng.basecall_signals([RawSignal(sim_read)])[0]
+    withq = eng.basecall_signals([RawSignal(sim_read)],
+                                 with_qualities=True)[0]
+    # qualities must not change the basecall (they only force the
+    # host-posterior path, which is stitch-equivalent by design)
+    assert withq.sequence == base.sequence
+    assert base.qual is None
+    assert withq.qual is not None and len(withq.qual) == len(withq.sequence)
+    assert all(33 <= ord(c) <= 126 for c in withq.qual)
+
+
+def test_format_fastq_and_sam_qual():
+    from scrappie_tpu.io.fasta import format_fastq, format_sam
+
+    rec = format_fastq("read1", "ACGT", "IIII", filename="f.fast5",
+                       score=-8.0, nblock=4, nsample=100, trim=(2, 1))
+    lines = rec.splitlines()
+    assert len(lines) == 4
+    assert lines[0].startswith("@read1") and '"nblock": 4' in lines[0]
+    assert lines[1] == "ACGT" and lines[2] == "+" and lines[3] == "IIII"
+
+    assert format_sam("r", "ACGT").rstrip().endswith("\tACGT\t*")
+    assert format_sam("r", "ACGT", qual="IIII").rstrip().endswith("\tACGT\tIIII")
