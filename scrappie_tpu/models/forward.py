@@ -99,9 +99,20 @@ def rgrgr_posterior_tm(params, sig, *, conv_activation="elu", stride=5,
 def rnnrf_transitions(params, sig, *, conv_activation="elu", stride=2,
                       min_prob=1e-5, tempW=1.0, tempb=1.0, return_log=True):
     """rnnrf_r94: conv -> 5 residual GRUs -> globally-normalised CRF
-    transitions (ref src/networks.c:567-615).  Always log-space."""
+    transitions (ref src/networks.c:567-615).  Always log-space.
+
+    On TPU the residual GRU stack runs through the Pallas scan kernel
+    (time-major internally, like rgrgr_posterior); off-TPU (and under
+    `ops.pallas(False)`, e.g. for training) it is the lax.scan program.
+    """
     del min_prob, tempW, tempb
     assert return_log, "rnnrf transitions are always log-space"
+    from scrappie_tpu import ops
+
+    if ops.pallas_enabled():
+        return rnnrf_transitions_tm(params, sig,
+                                    conv_activation=conv_activation,
+                                    stride=stride)
     x = conv1d(sig, params["conv_W"], params["conv_b"], int(stride))
     x = _CONV_ACT[conv_activation](x)
     for i, d in enumerate(GRU_DIRS, start=1):
@@ -111,6 +122,46 @@ def rnnrf_transitions(params, sig, *, conv_activation="elu", stride=2,
         x = checked(x + gx, f"rnnrf.res_{pre}")  # residual (ref :583-607)
     return checked(globalnorm(x, params["FF_W"], params["FF_b"]),
                    "rnnrf.globalnorm")
+
+
+def rnnrf_transitions_tm(params, sig, *, conv_activation="elu", stride=2):
+    """Time-major Pallas variant of rnnrf_transitions: sig [B, T, 1] ->
+    CRF transitions [B, nblock, 25].
+
+    Same layout strategy as rgrgr_posterior_tm: one transpose after the
+    conv, then the five residual GRU layers stay time-major with hidden
+    lanes 128-padded (pad lanes exactly zero in both the running feature
+    tensor and the kernel output, so the residual adds preserve the
+    zero-pad invariant the layer chaining relies on).  The globalnorm
+    head is a uniform per-read shift of every transition energy, so the
+    decoded Viterbi path is unchanged by where it is applied.
+    """
+    from scrappie_tpu.ops.gru import gru_layer_tm
+
+    B = sig.shape[0]
+    bpad = (-B) % 8
+    if bpad:
+        sig = jnp.pad(sig, ((0, bpad), (0, 0), (0, 0)))
+    x = conv1d(sig, params["conv_W"], params["conv_b"], int(stride))
+    x = _CONV_ACT[conv_activation](x)
+    x = jnp.moveaxis(x, 0, 1)  # [nblock, B, S]
+    S = x.shape[-1]
+    lane_pad = (-S) % 128
+    if lane_pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, lane_pad)))
+    for i, d in enumerate(GRU_DIRS, start=1):
+        pre = f"gru{d.upper()}{i}"
+        gx = gru_layer_tm(x, params[f"{pre}_iW"], params[f"{pre}_b"],
+                          params[f"{pre}_sW"], params[f"{pre}_sW2"],
+                          reverse=(d == "b"))
+        x = x + gx  # residual (ref src/networks.c:583-607)
+    x = jnp.moveaxis(x, 0, 1)  # [B, nblock, Sp]
+    W = params["FF_W"]
+    Wp = jnp.pad(W, ((0, x.shape[-1] - W.shape[0]), (0, 0)))
+    trans = globalnorm(x, Wp, params["FF_b"])
+    if bpad:
+        trans = trans[:B]
+    return checked(trans, "rnnrf_tm.globalnorm")
 
 
 def raw_posterior(params, sig, *, stride=4, min_prob=1e-5,

@@ -68,6 +68,28 @@ def _gather_decode(post, flat_idx, stay_pen, skip_pen, local_pen, use_slip):
     return viterbi_decode_batch(lp, stay_pen, skip_pen, local_pen, use_slip)
 
 
+@functools.partial(jax.jit, static_argnames=("emit_bias",))
+def _gather_decode_crf(trans, flat_idx, emit_bias):
+    """CRF twin of _gather_decode: stitch chunk transition blocks ON
+    DEVICE and Viterbi-decode them.  The appended neutral block allows
+    only moves INTO the blank state at cost 0 (same construction as
+    chunk.neutral_pad_crf builds host-side), so trailing pad blocks
+    emit nothing and carry the real-block score unchanged."""
+    from scrappie_tpu.decode.crf import _crf_viterbi
+
+    N, nb, nsq = trans.shape
+    ns = int(round(nsq ** 0.5))
+    flat = trans.reshape(N * nb, nsq).astype(jnp.float32)
+    neutral = jnp.full((1, nsq), -1e30, flat.dtype)
+    neutral = neutral.at[0, (ns - 1) * ns : ns * ns].set(0.0)
+    flat = jnp.concatenate([flat, neutral], axis=0)
+    t = flat[flat_idx]
+    if emit_bias:
+        # same additive emit/stay prior as decode_crf's emit_bias
+        t = t.at[..., : (ns - 1) * ns].add(jnp.float32(emit_bias))
+    return _crf_viterbi(t)
+
+
 class BasecallEngine:
     """Streamed, batched basecalling of many reads with one compiled program.
 
@@ -212,7 +234,7 @@ class BasecallEngine:
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     def _stitch_decode_device(self, prepped, read_chunks, stay_pen, skip_pen,
-                              local_pen, use_slip):
+                              local_pen, use_slip, crf_emit_bias=0.0):
         """Exact stitch mode with the posterior never leaving the device.
 
         Host-side stitching transfers ~820 B/sample of posterior
@@ -291,9 +313,13 @@ class BasecallEngine:
                 off += plan.nchunk
 
             with self.stage("decode"):
-                scores_d, paths_d = _gather_decode(
-                    post, jnp.asarray(flat_idx), float(stay_pen),
-                    float(skip_pen), float(local_pen), bool(use_slip))
+                if self.spec.kind == "rnnrf":
+                    scores_d, paths_d = _gather_decode_crf(
+                        post, jnp.asarray(flat_idx), float(crf_emit_bias))
+                else:
+                    scores_d, paths_d = _gather_decode(
+                        post, jnp.asarray(flat_idx), float(stay_pen),
+                        float(skip_pen), float(local_pen), bool(use_slip))
             inflight.append((group, scores_d, paths_d))
             if len(inflight) >= self.pipeline_depth:
                 with self.stage("collect"):
@@ -440,13 +466,16 @@ class BasecallEngine:
             return results
 
         # Exact stitch without the posterior ever reaching the host
-        # (transducer models, no whole-read-posterior consumers): the
-        # default production path.  Falls through to the host path for
-        # CRF models and posterior-mean homopolymer correction.
-        hp_none = homopolymer in (None, "nochange", HomopolymerMode.NOCHANGE)
-        if self.spec.kind != "rnnrf" and hp_none and not with_qualities:
+        # (no whole-read-posterior consumers): the default production
+        # path for both transducer and CRF models.  Falls through to
+        # the host path for posterior-mean homopolymer correction and
+        # per-base qualities (both need the whole-read posterior).
+        hp_none = (self.spec.kind == "rnnrf"  # hp never applies to CRF
+                   or homopolymer in (None, "nochange", HomopolymerMode.NOCHANGE))
+        if hp_none and not with_qualities:
             decoded_map = self._stitch_decode_device(
-                prepped, all_chunks, stay_pen, skip_pen, local_pen, use_slip)
+                prepped, all_chunks, stay_pen, skip_pen, local_pen, use_slip,
+                crf_emit_bias)
             results = []
             for i, (entry, rs) in enumerate(zip(prepped, signals)):
                 if entry is None:
@@ -457,7 +486,10 @@ class BasecallEngine:
                 score, path = decoded_map[i]
                 nblock = plan.nblock_total
                 pos = np.zeros(nblock + 1, dtype=np.int64)
-                seq = overlapper(path, self.spec.nstate - 1, pos)
+                if self.spec.kind == "rnnrf":
+                    seq = crfpath_to_basecall(path[: nblock + 1], pos)
+                else:
+                    seq = overlapper(path, self.spec.nstate - 1, pos)
                 results.append(ReadResult(rt.uuid, seq, score, nblock, pos,
                                           rt.start, rt.end, rt.n))
             return results

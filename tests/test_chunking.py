@@ -155,6 +155,29 @@ def test_engine_matches_single_read_api(reads_dir):
     assert abs(res.score - score_api) / abs(score_api) < 0.02
 
 
+@pytest.mark.parametrize("emit_bias", [0.0, -1.0])
+def test_engine_crf_device_stitch_matches_host(reads_dir, emit_bias):
+    """rnnrf (CRF) device-side stitch+decode (_gather_decode_crf) is
+    bit-equal to the host stitch path (forced via with_qualities=True,
+    which needs whole-read posteriors and so takes the host branch)."""
+    from scrappie_tpu.io.fast5 import read_raw
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.types import RawSignal
+
+    f = sorted(reads_dir.glob("*.fast5"))[0]
+    sig = read_raw(f).raw[:9_000]
+    engine = BasecallEngine("rnnrf_r94", chunk_len=4000, overlap=400,
+                            batch_size=4)
+    signals = [RawSignal(sig), RawSignal(sig[:6_500])]
+    dev = engine.basecall_signals(signals, crf_emit_bias=emit_bias)
+    host = engine.basecall_signals(signals, crf_emit_bias=emit_bias,
+                                   with_qualities=True)
+    for d, h in zip(dev, host):
+        assert d.sequence == h.sequence and len(d.sequence) > 20
+        assert abs(d.score - h.score) <= 1e-3 * abs(h.score) + 1e-4
+        assert d.nblock == h.nblock
+
+
 def test_stitch_paths_midpoint_assembly():
     """stitch_paths keeps each chunk's interior emissions (same geometry
     as stitch_blocks) and the first chunk's initial state."""

@@ -116,6 +116,26 @@ def test_rgrgr_posterior_tm_matches_batchmajor():
                                np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_rnnrf_transitions_tm_matches_batchmajor():
+    from scrappie_tpu.models import forward, registry
+    from scrappie_tpu.models.specs import RAW_MODELS
+
+    spec = RAW_MODELS["rnnrf_r94"]
+    params = {k: jnp.asarray(v) for k, v in registry.load_params("rnnrf_r94").items()}
+    rng = np.random.default_rng(7)
+    # B=2 exercises the batch pad-to-8 slice; T=60 gives 30 blocks (stride 2)
+    sig = jnp.asarray(rng.standard_normal((2, 60, 1)).astype(np.float32))
+    with ops.pallas(False):
+        ref = forward.rnnrf_transitions(params, sig,
+                                        conv_activation=spec.conv_activation,
+                                        stride=spec.stride)
+    tm = forward.rnnrf_transitions_tm(params, sig,
+                                      conv_activation=spec.conv_activation,
+                                      stride=spec.stride)
+    np.testing.assert_allclose(np.asarray(tm), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("pens", [dict(),
                                   dict(stay_pen=0.3, skip_pen=0.6,
                                        local_pen=3.0, use_slip=True)])
