@@ -70,8 +70,12 @@ def main() -> int:
     ok &= run("bench", [sys.executable, "bench.py"], 900)
     ok &= run("kernel-parity",
               [sys.executable, "-m", "pytest", "-q",
-               "tests/test_ops.py", "-k", "viterbi or gru or dtw or seqmap"],
+               "tests/test_ops.py", "-k",
+               "viterbi or gru or dtw or seqmap or tm_matches"],
               1200)
+    ok &= run("crf-device-stitch",
+              [sys.executable, "-m", "pytest", "-q",
+               "tests/test_chunking.py", "-k", "crf_device_stitch"], 900)
     ok &= run("engine-bench",
               [sys.executable, "scripts/bench_engine.py"], 1200)
     ok &= run("streaming-serving",
