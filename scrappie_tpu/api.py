@@ -154,6 +154,21 @@ def _decode_post_transducer(post: Posterior, stay_pen=0.0, skip_pen=0.0,
         path = homopolymer_path(post.data(), path, mode)
     pos = np.zeros(nblock + 1, dtype=np.int64)
     seq = overlapper(path, nstate - 1, pos)
+
+    # Runtime decode-collapse guard (models/calibration.py): skip_pen>0
+    # can absorb a whole read into the local start/end states on
+    # out-of-distribution data; re-decode the cached posterior with
+    # skip_pen=0 instead of returning the collapsed call.
+    if skip_pen > 0:
+        from scrappie_tpu.models.calibration import collapsed
+
+        if collapsed(len(seq or ""), nblock):
+            from scrappie_tpu.utils.tracing import log
+
+            log("warn", "decode collapsed; re-decoding with skip_pen=0",
+                nbases=len(seq or ""), nblock=nblock, skip_pen=skip_pen)
+            return _decode_post_transducer(post, stay_pen, 0.0, local_pen,
+                                           use_slip, homopolymer)
     return seq, float(score), pos
 
 
@@ -261,6 +276,22 @@ def basecall_events(data, *, trim_start=200, trim_end=10, varseg_chunk=100,
     # The reference stitches only the first nev path entries
     # (ref src/scrappie_events.c:301)
     seq = overlapper(path[:nev], nstate - 1, pos)
+
+    # Runtime decode-collapse guard (models/calibration.py documents the
+    # measured skip_pen>0 failure mode): re-decode the cached posterior
+    # with skip_pen=0 instead of emitting a collapsed call.
+    if skip_pen > 0:
+        from scrappie_tpu.models.calibration import collapsed
+
+        if collapsed(len(seq or ""), nev):
+            from scrappie_tpu.utils.tracing import log
+
+            log("warn", "events decode collapsed; re-decoding with skip_pen=0",
+                nbases=len(seq or ""), nev=nev, skip_pen=skip_pen)
+            score, path = decode_transducer(lp, stay_pen, 0.0, local_pen,
+                                            use_slip)
+            pos = np.zeros(nev + 1, dtype=np.int64)
+            seq = overlapper(path[:nev], nstate - 1, pos)
 
     # Annotate events with decoded state/position (ref :307-311)
     ev = et.event

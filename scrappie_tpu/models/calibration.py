@@ -57,6 +57,23 @@ REAL_CALIBRATION: dict[str, dict[str, float]] = {
 
 PRESETS = ("reference", "real")
 
+#: Runtime guard for the skip-penalty collapse mode documented above:
+#: a healthy transducer/CRF call emits ~1 base per 2.5-4 blocks, while
+#: a collapsed call (whole read absorbed into the decoder's local
+#: start/end states) emits ~0.015 bases/block.  5x below any sane call
+#: is the trigger; short reads (< COLLAPSE_MIN_BLOCKS blocks) are
+#: exempt because a legitimately empty call is possible there.
+COLLAPSE_MIN_BLOCKS = 50
+COLLAPSE_BASES_PER_BLOCK = 0.05
+
+
+def collapsed(nbases: int, nblock: int) -> bool:
+    """True when a decode emitted implausibly few bases for its block
+    count — the skip_pen>0 collapse signature (BASELINE.md: events
+    preset called 88 bases on ch228 instead of ~1900)."""
+    return (nblock >= COLLAPSE_MIN_BLOCKS
+            and nbases < COLLAPSE_BASES_PER_BLOCK * nblock)
+
 
 def preset(model: str, calibration: str = "reference") -> dict[str, float]:
     """The decode-kwarg overrides for ``model`` under ``calibration``."""

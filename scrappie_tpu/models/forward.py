@@ -154,7 +154,10 @@ def rnnrf_transitions_tm(params, sig, *, conv_activation="elu", stride=2):
         gx = gru_layer_tm(x, params[f"{pre}_iW"], params[f"{pre}_b"],
                           params[f"{pre}_sW"], params[f"{pre}_sW2"],
                           reverse=(d == "b"))
-        x = x + gx  # residual (ref src/networks.c:583-607)
+        # residual (ref src/networks.c:583-607); per-layer checked() so
+        # SCRAPPIE_TPU_VALIDATE attributes a mid-stack NaN to the
+        # offending kernel, matching the batch-major path's attribution
+        x = checked(x + gx, f"rnnrf_tm.res_{pre}")
     x = jnp.moveaxis(x, 0, 1)  # [B, nblock, Sp]
     W = params["FF_W"]
     Wp = jnp.pad(W, ((0, x.shape[-1] - W.shape[0]), (0, 0)))

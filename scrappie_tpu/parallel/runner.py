@@ -68,7 +68,7 @@ def _gather_decode(post, flat_idx, stay_pen, skip_pen, local_pen, use_slip):
     return viterbi_decode_batch(lp, stay_pen, skip_pen, local_pen, use_slip)
 
 
-@functools.partial(jax.jit, static_argnames=("emit_bias",))
+@jax.jit
 def _gather_decode_crf(trans, flat_idx, emit_bias):
     """CRF twin of _gather_decode: stitch chunk transition blocks ON
     DEVICE and Viterbi-decode them.  The appended neutral block allows
@@ -84,9 +84,10 @@ def _gather_decode_crf(trans, flat_idx, emit_bias):
     neutral = neutral.at[0, (ns - 1) * ns : ns * ns].set(0.0)
     flat = jnp.concatenate([flat, neutral], axis=0)
     t = flat[flat_idx]
-    if emit_bias:
-        # same additive emit/stay prior as decode_crf's emit_bias
-        t = t.at[..., : (ns - 1) * ns].add(jnp.float32(emit_bias))
+    # same additive emit/stay prior as decode_crf's emit_bias; traced
+    # (not static) so sweeping the calibration float never recompiles —
+    # adding 0.0 is free
+    t = t.at[..., : (ns - 1) * ns].add(jnp.asarray(emit_bias, jnp.float32))
     return _crf_viterbi(t)
 
 
@@ -378,7 +379,40 @@ class BasecallEngine:
                 results[g] = (float(scores[j]), paths[j, : nb + 1].copy())
         return results
 
-    def basecall_signals(self, signals: list[RawSignal], *, trim_start=200,
+    def basecall_signals(self, signals: list[RawSignal], *, skip_pen=0.0,
+                         **kwargs) -> list[ReadResult]:
+        """Basecall a batch of raw signals; see _basecall_signals_impl.
+
+        Runtime decode-collapse guard: a positive skip penalty can
+        absorb a whole read into the decoder's local start/end states
+        on out-of-distribution data (models/calibration.py documents
+        the measured failure on the third bundled read).  Any read
+        whose call emits implausibly few bases for its block count is
+        warned about and re-decoded with skip_pen=0 — one extra device
+        pass over only the collapsed reads.
+        """
+        results = self._basecall_signals_impl(signals, skip_pen=skip_pen,
+                                              **kwargs)
+        if skip_pen > 0:
+            from scrappie_tpu.models.calibration import collapsed
+
+            redo = [i for i, r in enumerate(results)
+                    if r.nblock and collapsed(len(r.sequence or ""), r.nblock)]
+            if redo:
+                from scrappie_tpu.utils.tracing import log
+
+                for i in redo:
+                    r = results[i]
+                    log("warn", "decode collapsed; re-decoding with skip_pen=0",
+                        uuid=r.uuid, nbases=len(r.sequence or ""),
+                        nblock=r.nblock, skip_pen=skip_pen)
+                fixed = self._basecall_signals_impl(
+                    [signals[i] for i in redo], skip_pen=0.0, **kwargs)
+                for i, r in zip(redo, fixed):
+                    results[i] = r
+        return results
+
+    def _basecall_signals_impl(self, signals: list[RawSignal], *, trim_start=200,
                          trim_end=10, varseg_chunk=100, varseg_thresh=0.0,
                          stay_pen=0.0, skip_pen=0.0, local_pen=2.0,
                          use_slip=False,
@@ -487,7 +521,9 @@ class BasecallEngine:
                 nblock = plan.nblock_total
                 pos = np.zeros(nblock + 1, dtype=np.int64)
                 if self.spec.kind == "rnnrf":
-                    seq = crfpath_to_basecall(path[: nblock + 1], pos)
+                    # paths in decoded_map are already trimmed to
+                    # nblock+1 entries by _collect_one
+                    seq = crfpath_to_basecall(path, pos)
                 else:
                     seq = overlapper(path, self.spec.nstate - 1, pos)
                 results.append(ReadResult(rt.uuid, seq, score, nblock, pos,

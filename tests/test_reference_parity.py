@@ -2,7 +2,10 @@
 
 The reference binary is built from the reference sources (copied into
 the gitignored .baseline/ working area) with OUR weights exported as C
-headers (scripts/export_c_headers.py + scripts/build_baseline.sh).
+headers.  Reproducible from a fresh checkout: `bash
+scripts/build_baseline.sh` compiles the committed scripts/bench_driver.c
+against the copied reference sources and turns the skips below into
+runs (scripts/export_c_headers.py supplies the weights).
 Running both implementations on the identical normalised signal must
 yield near-identical basecalls — the analogue of the reference's own
 SSE-vs-scalar decoder parity test (ref src/test/test_scrappie_decoding.c)
