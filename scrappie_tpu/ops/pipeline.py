@@ -1,13 +1,23 @@
-"""Fully-fused single-call rgrgr basecall pipeline for TPU.
+"""Fully-fused single-call basecall pipelines for TPU (per model kind).
 
-conv (XLA, output channels lane-padded) -> one transpose to time-major
--> 5 fused-projection GRU Pallas kernels -> fused posterior-head +
-Viterbi Pallas kernel -> backtrace kernel.  The only large HBM tensors
-are the per-layer hidden features [T, B, 128] and the int16 traceback;
-the [T, B, 1025] posterior never materialises.
+rgrgr: conv (XLA, output channels lane-padded) -> one transpose to
+time-major -> 5 fused-projection GRU Pallas kernels -> fused
+posterior-head + Viterbi Pallas kernel -> backtrace kernel.  The only
+large HBM tensors are the per-layer hidden features [T, B, 128] and the
+int16 traceback; the [T, B, 1025] posterior never materialises.
 
-This is the chunk-level fast path (used by bench.py and anywhere whole
-chunks are decoded independently); the stitching runtime
+raw (biGRU, ref src/networks.c:196-247): same kernel family — each
+layer runs the forward and backward fused GRU kernels on the shared
+input and combines them with feedforward2_tanh, then the same fused
+head+Viterbi kernel (the head is FF3, 1025 states, stride 4).
+
+rnnrf (residual GRU + CRF, ref src/networks.c:567-615): the Pallas
+residual-GRU stack produces [B, nblock, 25] transition energies (small
+enough to live in HBM, unlike the 1025-state posterior), decoded
+per-chunk by the associative-scan CRF Viterbi on device.
+
+These are the chunk-level fast paths (used by bench.py and anywhere
+whole chunks are decoded independently); the stitching runtime
 (parallel/runner.py) keeps posterior and decode as separate stages
 because it stitches chunk posteriors into whole-read matrices first.
 """
@@ -82,3 +92,88 @@ def _rgrgr_basecall_fused(params, sig, *, conv_activation: str = "elu",
         local_pen=local_pen, use_slip=use_slip, ct=ct, prec_name=prec_name)
     score, path = viterbi_backtrace_tm(final, tb)
     return score[:B], path[:B]
+
+
+def raw_basecall_fused(params, sig, **kwargs):
+    """raw_r94 fast path: sig [B, T, 1] -> (logscore [B], path [B,
+    nblock+1] int32).
+
+    Matches raw_posterior + decode_transducer (ref
+    src/networks.c:196-247 + src/decode.c:123-365); biGRU layers run
+    the same fused Pallas GRU kernels in both directions, combined with
+    feedforward2_tanh, then the fused posterior-head+Viterbi kernel.
+    """
+    from scrappie_tpu.ops import kernel_precision_name
+
+    kwargs.setdefault("prec_name", kernel_precision_name())
+    return _raw_basecall_fused(params, sig, **kwargs)
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "use_slip",
+                                             "prec_name"))
+def _raw_basecall_fused(params, sig, *, stride: int = 4, min_prob=1e-5,
+                        tempW=1.0, tempb=1.0, stay_pen=0.0, skip_pen=0.0,
+                        local_pen=2.0, use_slip: bool = False,
+                        prec_name: str | None = None):
+    from scrappie_tpu.models.forward import _ff2_tanh_padded
+
+    B = sig.shape[0]
+    pad = (-B) % 8
+    if pad:
+        sig = jnp.pad(sig, ((0, pad), (0, 0), (0, 0)))
+
+    W = params["conv_W"]
+    cpad = _round_up(W.shape[2], LANE) - W.shape[2]
+    Wp = jnp.pad(W, ((0, 0), (0, 0), (0, cpad)))
+    bp = jnp.pad(params["conv_b"], (0, cpad))
+    # tanh keeps the zero pad lanes exactly zero
+    x = jnp.tanh(conv1d(sig, Wp, bp, int(stride)))
+    x = jnp.moveaxis(x, 0, 1)  # [nblock, B, 128]
+
+    for layer in (1, 2):
+        hs = {}
+        for d, rev in (("F", False), ("B", True)):
+            pre = f"gru{d}{layer}"
+            iWp, bgp, sWp, sW2p = pad_gru_params(
+                params[f"{pre}_iW"], params[f"{pre}_b"], params[f"{pre}_sW"],
+                params[f"{pre}_sW2"], in_pad=x.shape[-1])
+            hs[d] = gru_layer_fused_tm(x, iWp, bgp, sWp, sW2p, reverse=rev,
+                                       prec_name=prec_name)
+        x = _ff2_tanh_padded(hs["F"], hs["B"], params[f"FF{layer}_Wf"],
+                             params[f"FF{layer}_Wb"], params[f"FF{layer}_b"])
+
+    ct = next(c for c in (4, 2, 1) if x.shape[0] % c == 0)
+    final, tb = viterbi_fused_tm(
+        x, params["FF3_W"], params["FF3_b"], min_prob=min_prob, tempW=tempW,
+        tempb=tempb, stay_pen=stay_pen, skip_pen=skip_pen,
+        local_pen=local_pen, use_slip=use_slip, ct=ct, prec_name=prec_name)
+    score, path = viterbi_backtrace_tm(final, tb)
+    return score[:B], path[:B]
+
+
+def rnnrf_basecall_fused(params, sig, **kwargs):
+    """rnnrf_r94 fast path: sig [B, T, 1] -> (logscore [B], path [B,
+    nblock+1] int32 CRF states).
+
+    Matches rnnrf_transitions + decode_crf (ref src/networks.c:567-615
+    + src/decode.c:836-894): Pallas residual-GRU stack, globalnorm, and
+    the associative-scan CRF Viterbi, all in one jit.  The transition
+    tensor is only 25 lanes wide, so unlike the transducer models it
+    can materialise between stages without a memory-traffic penalty.
+    """
+    return _rnnrf_basecall_fused(params, sig, **kwargs)
+
+
+@functools.partial(jax.jit, static_argnames=("conv_activation", "stride"))
+def _rnnrf_basecall_fused(params, sig, *, conv_activation: str = "elu",
+                          stride: int = 2, emit_bias=0.0):
+    from scrappie_tpu.decode.crf import _crf_viterbi_assoc
+    from scrappie_tpu.models.forward import rnnrf_transitions_tm
+
+    trans = rnnrf_transitions_tm(params, sig,
+                                 conv_activation=conv_activation,
+                                 stride=int(stride))
+    ns = 5
+    trans = trans.at[..., : (ns - 1) * ns].add(
+        jnp.asarray(emit_bias, trans.dtype))
+    return _crf_viterbi_assoc(trans)

@@ -111,9 +111,9 @@ class BasecallEngine:
             pipeline (ops/pipeline.py; the posterior never reaches the
             host) and stitch the Viterbi paths at overlap midpoints,
             bonito-style.  Junction blocks may differ from 'stitch';
-            scores are per-chunk sums weighted by kept blocks.  rgrgr
-            models only; homopolymer correction unavailable (it needs
-            the whole-read posterior).
+            scores are per-chunk sums weighted by kept blocks.  All
+            model kinds (rgrgr/raw/rnnrf, round 3); homopolymer
+            correction unavailable (it needs the whole-read posterior).
 
         pipeline_depth: device batches kept in flight before the host
           blocks on results (JAX dispatch is async, so depth 2 =
@@ -124,12 +124,6 @@ class BasecallEngine:
         self.spec = RAW_MODELS[model]
         if mode not in ("stitch", "fast"):
             raise ValueError(f"unknown mode {mode!r}")
-        if mode == "fast" and RAW_MODELS[model].kind != "rgrgr":
-            from scrappie_tpu.utils.tracing import log
-
-            log("warn", "fast mode only supports rgrgr models; using stitch",
-                model=model)
-            mode = "stitch"
         self.mode = mode
         self._min_prob, self._tempW, self._tempb = min_prob, tempW, tempb
         stride = self.spec.stride
@@ -193,12 +187,34 @@ class BasecallEngine:
         return np.concatenate(outs, axis=0)[: all_chunks.shape[0]]
 
     def _decode_chunks_fused(self, all_chunks: np.ndarray, stay_pen, skip_pen,
-                             local_pen, use_slip):
+                             local_pen, use_slip, crf_emit_bias=0.0):
         """Fused per-chunk decode: [N, chunk_len] -> (scores [N],
-        paths [N, nblock_chunk+1]) without materialising posteriors."""
+        paths [N, nblock_chunk+1]) without materialising posteriors.
+        Dispatches to the model kind's fused pipeline (ops/pipeline.py)."""
         import collections
+        import functools as ft
 
-        from scrappie_tpu.ops.pipeline import rgrgr_basecall_fused
+        from scrappie_tpu.ops import pipeline as plops
+
+        kind = self.spec.kind
+        if kind == "rgrgr":
+            call = ft.partial(
+                plops.rgrgr_basecall_fused,
+                conv_activation=self.spec.conv_activation,
+                stride=self.spec.stride, min_prob=self._min_prob,
+                tempW=self._tempW, tempb=self._tempb, stay_pen=stay_pen,
+                skip_pen=skip_pen, local_pen=local_pen, use_slip=use_slip)
+        elif kind == "raw":
+            call = ft.partial(
+                plops.raw_basecall_fused, stride=self.spec.stride,
+                min_prob=self._min_prob, tempW=self._tempW,
+                tempb=self._tempb, stay_pen=stay_pen, skip_pen=skip_pen,
+                local_pen=local_pen, use_slip=use_slip)
+        else:  # rnnrf
+            call = ft.partial(
+                plops.rnnrf_basecall_fused,
+                conv_activation=self.spec.conv_activation,
+                stride=self.spec.stride, emit_bias=float(crf_emit_bias))
 
         scores, paths = [], []
         pend: collections.deque = collections.deque()
@@ -209,11 +225,7 @@ class BasecallEngine:
             paths.append(np.asarray(p))
 
         for x in self._device_batches(all_chunks):
-            pend.append(rgrgr_basecall_fused(
-                self.params, x, conv_activation=self.spec.conv_activation,
-                stride=self.spec.stride, min_prob=self._min_prob,
-                tempW=self._tempW, tempb=self._tempb, stay_pen=stay_pen,
-                skip_pen=skip_pen, local_pen=local_pen, use_slip=use_slip))
+            pend.append(call(self.params, x))
             if len(pend) >= self.pipeline_depth:
                 _collect()
         while pend:
@@ -479,7 +491,8 @@ class BasecallEngine:
             with self.stage("decode_fused"):
                 flat = np.concatenate(all_chunks, axis=0)
                 scores, paths = self._decode_chunks_fused(
-                    flat, stay_pen, skip_pen, local_pen, use_slip)
+                    flat, stay_pen, skip_pen, local_pen, use_slip,
+                    crf_emit_bias)
             results = []
             for entry, rs in zip(prepped, signals):
                 if entry is None:
@@ -494,7 +507,10 @@ class BasecallEngine:
                     for i, (lo, hi) in enumerate(keep)))
                 nblock = plan.nblock_total
                 pos = np.zeros(nblock + 1, dtype=np.int64)
-                seq = overlapper(path, self.spec.nstate - 1, pos)
+                if self.spec.kind == "rnnrf":
+                    seq = crfpath_to_basecall(path, pos)
+                else:
+                    seq = overlapper(path, self.spec.nstate - 1, pos)
                 results.append(ReadResult(rt.uuid, seq, score, nblock, pos,
                                           rt.start, rt.end, rt.n))
             return results

@@ -34,6 +34,23 @@ from scrappie_tpu.train.realdata import (LabelledRead, _rolling_kmers,
 
 
 @dataclasses.dataclass
+class ReadStats:
+    """Per-read noise/dwell/sequence statistics (round 3).
+
+    The global fit pools reads, but the bundled reads differ materially
+    (translocation 12-19 samples/base, distinct AR(1) noise); sampling a
+    read identity per synthetic window and using ITS statistics teaches
+    the model the real per-read correlation structure instead of an
+    averaged one that matches neither read.
+    """
+
+    phi: float
+    sigma: float
+    dwell_pool: np.ndarray  # int64 per-base dwells of this read
+    bases: np.ndarray       # int64 truth bases (for real-sequence windows)
+
+
+@dataclasses.dataclass
 class EmpiricalModel:
     """Per-kmer levels + noise/dwell statistics fitted to labelled reads."""
 
@@ -43,6 +60,7 @@ class EmpiricalModel:
     sigma: float            # stationary sd of the residual noise
     dwell_pool: np.ndarray  # int64, per-base dwell observations (samples)
     klen: int = KMER_LEN
+    read_stats: list | None = None  # list[ReadStats], one per fitted read
 
     @classmethod
     def fit(cls, reads: list[LabelledRead], klen: int = KMER_LEN,
@@ -69,10 +87,14 @@ class EmpiricalModel:
             tri_sums += np.bincount(tri, weights=obs, minlength=64)
             tri_cnts += np.bincount(tri, minlength=64)
             # dwell pool: run lengths of base_at over aligned samples
+            # (one entry per read, possibly empty, so per-read stats can
+            # index it by read position)
             ba = r.base_at[r.base_at >= 0]
             if len(ba):
                 change = np.flatnonzero(np.diff(ba) != 0)
                 dwells.append(np.diff(np.concatenate([[-1], change])))
+            else:
+                dwells.append(np.zeros(0, dtype=np.int64))
         tri_mean = tri_sums / np.maximum(tri_cnts, 1)
         tri_of_k = (np.arange(nk) >> 2) & 0x3F
         k_mean = sums / np.maximum(cnts, 1)
@@ -87,12 +109,16 @@ class EmpiricalModel:
         # AR(1) noise from the MIDDLE samples of long dwells, residual to
         # the per-base mean: this excludes level-table error, alignment
         # error and base-boundary transition samples, which otherwise
-        # inflate sigma ~1.6x (measured).
+        # inflate sigma ~1.6x (measured).  Fitted PER READ (round 3) and
+        # pooled for the global numbers.
         ac_num = ac_den = 0.0
-        for r in reads:
+        read_stats: list[ReadStats] = []
+        for ri, r in enumerate(reads):
             ba = r.base_at
             change = np.flatnonzero(np.diff(ba) != 0) + 1
             bounds = np.concatenate([[0], change, [len(ba)]])
+            r_num = r_den = 0.0
+            r_resid = []
             for i in range(len(bounds) - 1):
                 lo, hi = int(bounds[i]), int(bounds[i + 1])
                 if ba[lo] < 0 or hi - lo < 7:
@@ -100,16 +126,29 @@ class EmpiricalModel:
                 mid = r.norm[lo + 2 : hi - 2]
                 resid = mid - mid.mean()
                 resid_pairs.append(resid)
-                ac_num += float((resid[:-1] * resid[1:]).sum())
-                ac_den += float((resid * resid).sum())
+                r_resid.append(resid)
+                r_num += float((resid[:-1] * resid[1:]).sum())
+                r_den += float((resid * resid).sum())
+            ac_num += r_num
+            ac_den += r_den
+            r_all = (np.concatenate(r_resid) if r_resid
+                     else np.zeros(2, dtype=np.float64))
+            r_pool = (dwells[ri] if ri < len(dwells) and len(dwells[ri])
+                      else np.full(100, 10, dtype=np.int64))
+            read_stats.append(ReadStats(
+                float(np.clip(r_num / max(r_den, 1e-9), 0.0, 0.98)),
+                float(r_all.std()), np.asarray(r_pool, np.int64),
+                np.asarray(r.bases, np.int64)))
         allr = (np.concatenate(resid_pairs) if resid_pairs
                 else np.zeros(2, dtype=np.float64))
         phi = float(np.clip(ac_num / max(ac_den, 1e-9), 0.0, 0.98))
         sigma = float(allr.std())
         pool = (np.concatenate(dwells) if dwells
-                else np.full(1000, 10, dtype=np.int64))
+                else np.zeros(0, dtype=np.int64))
+        if not len(pool):
+            pool = np.full(1000, 10, dtype=np.int64)
         return cls(level.astype(np.float32), level_sd.astype(np.float32),
-                   phi, sigma, pool.astype(np.int64), klen)
+                   phi, sigma, pool.astype(np.int64), klen, read_stats)
 
 
 class RealisticSimulator:
@@ -122,23 +161,61 @@ class RealisticSimulator:
     def __init__(self, model: EmpiricalModel, seed: int = 0,
                  rate_range: tuple[float, float] = (0.7, 1.5),
                  drift_sd: float = 0.12, gain_jitter: float = 0.08,
-                 occurrence_jitter: float = 0.28):
+                 occurrence_jitter: float = 0.28, real_seq_p: float = 0.5,
+                 rate_drift: float = 0.12, hetero_sd: bool = True):
+        """real_seq_p: probability a window's base sequence is a random
+        substring of a fitted read's truth sequence instead of uniform
+        random bases — real genomic composition (homopolymers, repeats)
+        is far from uniform, and decode errors concentrate there.
+        rate_drift: within-window translocation-rate modulation (the
+        real reads' speed wanders slowly).  hetero_sd: scale the AR(1)
+        noise per sample by the fitted per-kmer sd (heteroscedastic
+        pore noise) instead of one global sigma."""
         self.m = model
         self.rng = np.random.default_rng(seed)
         self.rate_range = rate_range
         self.drift_sd = drift_sd
         self.gain_jitter = gain_jitter
         self.occurrence_jitter = occurrence_jitter
+        self.real_seq_p = real_seq_p if model.read_stats else 0.0
+        self.rate_drift = rate_drift
+        self.hetero_sd = hetero_sd
+        # per-kmer noise scale relative to the global sigma, clipped so
+        # sparse-kmer outliers can't explode a window
+        med_sd = float(np.median(model.level_sd)) or 1.0
+        self._sd_scale = np.clip(model.level_sd / med_sd, 0.6, 1.9
+                                 ).astype(np.float32)
 
     def _synth(self, nsample: int):
         """One read window: (signal [nsample], base_at [nsample], bases)."""
         m, rng = self.m, self.rng
+        # sample a read identity: its noise/dwell stats (and possibly its
+        # sequence) shape this window
+        rs = None
+        if m.read_stats:
+            rs = m.read_stats[int(rng.integers(len(m.read_stats)))]
+        pool = rs.dwell_pool if rs is not None and len(rs.dwell_pool) \
+            else m.dwell_pool
+        phi = rs.phi if rs is not None else m.phi
+        sigma = rs.sigma if rs is not None else m.sigma
         rate = rng.uniform(*self.rate_range)
-        n_bases = int(nsample / (np.mean(m.dwell_pool) * rate)) + m.klen + 24
-        bases = rng.integers(0, 4, size=n_bases)
+        n_bases = int(nsample / (np.mean(pool) * rate)) + m.klen + 24
+        if rs is not None and rng.uniform() < self.real_seq_p \
+                and len(rs.bases) > n_bases:
+            s0 = int(rng.integers(len(rs.bases) - n_bases))
+            bases = rs.bases[s0 : s0 + n_bases].copy()
+        else:
+            bases = rng.integers(0, 4, size=n_bases)
         kmers = _rolling_kmers(bases, m.klen)
+        # within-window rate drift: smooth exp-ramp between two rates
+        if self.rate_drift > 0:
+            r1 = rate * float(np.exp(rng.uniform(-self.rate_drift,
+                                                 self.rate_drift)))
+            rate_per_base = np.linspace(rate, r1, n_bases)
+        else:
+            rate_per_base = np.full(n_bases, rate)
         dwells = np.maximum(
-            1, np.round(rng.choice(m.dwell_pool, size=n_bases) * rate)
+            1, np.round(rng.choice(pool, size=n_bases) * rate_per_base)
         ).astype(np.int64)
         base_at = np.repeat(np.arange(n_bases), dwells)
         if len(base_at) < nsample:
@@ -153,11 +230,15 @@ class RealisticSimulator:
         sig = base_lvl[base_at]
         # AR(1) noise at the fitted stationary sd: x[t] = sum_k phi^k e[t-k],
         # kernel truncated where phi^k < 1e-3 (exact to ~0.1%)
-        innov_sd = m.sigma * np.sqrt(1.0 - m.phi ** 2)
+        innov_sd = sigma * np.sqrt(1.0 - phi ** 2)
         e = rng.standard_normal(nsample) * innov_sd
-        ntap = max(1, int(np.ceil(np.log(1e-3) / np.log(max(m.phi, 1e-6)))))
-        kernel = m.phi ** np.arange(ntap)
+        ntap = max(1, int(np.ceil(np.log(1e-3) / np.log(max(phi, 1e-6)))))
+        kernel = phi ** np.arange(ntap)
         noise = np.convolve(e, kernel)[:nsample]
+        if self.hetero_sd:
+            # heteroscedastic pore noise: per-kmer sd modulation on top
+            # of the read's AR(1) correlation structure
+            noise = noise * self._sd_scale[kmers[base_at]]
         sig = sig + noise
         # slow baseline drift: smoothed random walk
         drift = np.cumsum(rng.standard_normal(nsample))

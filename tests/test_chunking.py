@@ -108,6 +108,34 @@ def test_stitched_posterior_matches_whole(model):
     assert edit <= 2 * plan.nchunk, f"{edit} edits in {len(seq_w)}"
 
 
+@pytest.mark.parametrize("model", ["raw_r94", "rnnrf_r94", "rgrgr_r94"])
+def test_engine_fast_mode_all_kinds(reads_dir, model):
+    """Fast mode (fused per-chunk decode + path stitch) for every model
+    kind (round 3; ref fast path analogue src/networks.c:196-247,
+    :567-615).  On an exact-chunk-length read there are no junctions
+    and no signal padding, so fast == stitch exactly.
+    """
+    from scrappie_tpu.io.fast5 import read_raw
+    from scrappie_tpu.models.specs import RAW_MODELS
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.types import RawSignal
+    from scrappie_tpu.utils.maths import medmad_normalise
+
+    chunk = 2000
+    raw = read_raw(sorted(reads_dir.glob("*.fast5"))[0]).raw
+    norm = medmad_normalise(raw[1000 : 1000 + chunk])
+    sig = [RawSignal(norm, uuid="x")]
+    kw = dict(trim_start=0, trim_end=0, varseg_thresh=0.0)
+    seqs = {}
+    for mode in ("fast", "stitch"):
+        eng = BasecallEngine(model, chunk_len=chunk, overlap=400,
+                             batch_size=2, mode=mode)
+        res = eng.basecall_signals(sig, **kw)[0]
+        assert res.sequence, (model, mode)
+        seqs[mode] = res.sequence
+    assert seqs["fast"] == seqs["stitch"], model
+
+
 def test_engine_end_to_end(reads_dir):
     from scrappie_tpu.io.fast5 import read_raw
     from scrappie_tpu.parallel.runner import BasecallEngine

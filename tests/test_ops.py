@@ -166,6 +166,58 @@ def test_fused_pipeline_matches_two_stage(pens):
                                rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("pens", [dict(),
+                                  dict(stay_pen=0.4, skip_pen=0.7,
+                                       local_pen=3.0)])
+def test_raw_fused_pipeline_matches_two_stage(pens):
+    """raw_r94 (biGRU) fast path == posterior + decode (round 3)."""
+    from scrappie_tpu.models import forward, registry
+    from scrappie_tpu.models.specs import RAW_MODELS
+    from scrappie_tpu.ops.pipeline import raw_basecall_fused
+
+    spec = RAW_MODELS["raw_r94"]
+    params = {k: jnp.asarray(v)
+              for k, v in registry.load_params("raw_r94").items()}
+    rng = np.random.default_rng(17)
+    sig = jnp.asarray(rng.standard_normal((2, 48, 1)).astype(np.float32))
+    lp = forward.raw_posterior(params, sig, stride=spec.stride)
+    final, tb = viterbi_transducer_scores(
+        lp, pens.get("stay_pen", 0.0), pens.get("skip_pen", 0.0),
+        pens.get("local_pen", 2.0), False)
+    score_ref, path_ref = viterbi_local_backtrace(final, tb)
+    score, path = raw_basecall_fused(params, sig, stride=spec.stride, **pens)
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(path_ref))
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score_ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("emit_bias", [0.0, -1.0])
+def test_rnnrf_fused_pipeline_matches_two_stage(emit_bias):
+    """rnnrf fast path == transitions + CRF Viterbi (round 3)."""
+    from scrappie_tpu.decode.crf import decode_crf
+    from scrappie_tpu.models import forward, registry
+    from scrappie_tpu.models.specs import RAW_MODELS
+    from scrappie_tpu.ops.pipeline import rnnrf_basecall_fused
+
+    spec = RAW_MODELS["rnnrf_r94"]
+    params = {k: jnp.asarray(v)
+              for k, v in registry.load_params("rnnrf_r94").items()}
+    rng = np.random.default_rng(18)
+    sig = jnp.asarray(rng.standard_normal((2, 40, 1)).astype(np.float32))
+    trans = forward.rnnrf_transitions(params, sig,
+                                      conv_activation=spec.conv_activation,
+                                      stride=spec.stride)
+    score_ref, path_ref = decode_crf(np.asarray(trans), impl="scan",
+                                     emit_bias=emit_bias)
+    score, path = rnnrf_basecall_fused(params, sig,
+                                       conv_activation=spec.conv_activation,
+                                       stride=spec.stride,
+                                       emit_bias=emit_bias)
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(path_ref))
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score_ref),
+                               rtol=1e-5, atol=1e-4)
+
+
 def test_raw_posterior_tm_matches_batchmajor():
     from scrappie_tpu.models import forward, registry
     from scrappie_tpu.models.specs import RAW_MODELS
