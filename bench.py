@@ -187,6 +187,41 @@ def main():
         sps = measure()
         sps_exact = sps
 
+    def measure_model(model: str, prec_name="default"):
+        """Fused fast-path throughput for the other model kinds
+        (round 3: raw_r94 biGRU and rnnrf CRF fast paths)."""
+        import functools
+
+        from scrappie_tpu.ops.pipeline import (raw_basecall_fused,
+                                               rnnrf_basecall_fused)
+
+        mspec = RAW_MODELS[model]
+        mparams = {k: jnp.asarray(v)
+                   for k, v in registry.load_params(model).items()}
+        if mspec.kind == "raw":
+            fused = functools.partial(raw_basecall_fused,
+                                      stride=mspec.stride,
+                                      prec_name=prec_name)
+        else:
+            fused = functools.partial(rnnrf_basecall_fused,
+                                      conv_activation=mspec.conv_activation,
+                                      stride=mspec.stride)
+
+        @jax.jit
+        def pipe(params, sigs):
+            return jax.lax.map(lambda s: fused(params, s), sigs)
+
+        for _ in range(warmup):
+            score, _ = pipe(mparams, sigs)
+            np.asarray(score.ravel()[0])
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            score, _ = pipe(mparams, sigs)
+            np.asarray(score.ravel()[0])
+            times.append(time.perf_counter() - t0)
+        return groups * batch * CHUNK_LEN / min(times)
+
     result = {
         "metric": "rgrgr_r94 raw samples/sec/chip (fused conv+GRU+posterior+Viterbi decode, bf16 fast path)",
         "value": round(sps, 1),
@@ -195,6 +230,12 @@ def main():
         "exact_f32_samples_per_sec": round(sps_exact, 1),
         "precision": "bf16 matmuls, f32 accumulation; real-read identity unchanged vs f32 (BASELINE.md)",
     }
+    if on_device:
+        with nn_config.precision("default"):
+            result["raw_r94_samples_per_sec"] = round(
+                measure_model("raw_r94"), 1)
+            result["rnnrf_r94_samples_per_sec"] = round(
+                measure_model("rnnrf_r94"), 1)
     if not on_device:
         result["platform"] = "cpu"
         result["precision"] = "f32 (precision flags are no-ops on the CPU backend)"

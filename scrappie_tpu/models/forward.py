@@ -124,7 +124,8 @@ def rnnrf_transitions(params, sig, *, conv_activation="elu", stride=2,
                    "rnnrf.globalnorm")
 
 
-def rnnrf_transitions_tm(params, sig, *, conv_activation="elu", stride=2):
+def rnnrf_transitions_tm(params, sig, *, conv_activation="elu", stride=2,
+                         prec_name=None):
     """Time-major Pallas variant of rnnrf_transitions: sig [B, T, 1] ->
     CRF transitions [B, nblock, 25].
 
@@ -153,7 +154,7 @@ def rnnrf_transitions_tm(params, sig, *, conv_activation="elu", stride=2):
         pre = f"gru{d.upper()}{i}"
         gx = gru_layer_tm(x, params[f"{pre}_iW"], params[f"{pre}_b"],
                           params[f"{pre}_sW"], params[f"{pre}_sW2"],
-                          reverse=(d == "b"))
+                          reverse=(d == "b"), prec_name=prec_name)
         # residual (ref src/networks.c:583-607); per-layer checked() so
         # SCRAPPIE_TPU_VALIDATE attributes a mid-stack NaN to the
         # offending kernel, matching the batch-major path's attribution

@@ -251,19 +251,26 @@ def gru_layer_fused_tm(x_tm, iWp, bp, sWp, sW2p, reverse: bool = False,
     return y
 
 
-def gru_layer_tm(x_tm, iW, b, sW, sW2, reverse: bool = False):
+def gru_layer_tm(x_tm, iW, b, sW, sW2, reverse: bool = False,
+                 prec_name: str | None = None):
     """Full GRU layer on time-major features: projection GEMM + scan.
 
     x_tm [T, B, C] where C may already be lane-padded relative to
     iW.shape[0] (extra features must be zero); returns [T, B, Sp]
     (lane-padded hidden, pad lanes exactly zero).
+
+    prec_name: kernel matmul precision; None reads the global policy AT
+    TRACE TIME — callers that jit around this function must pass it as
+    their own static argument or precision changes will not retrace.
     """
     C = x_tm.shape[-1]
     Cp = _round_up(C, LANE)
     if Cp != C:
         x_tm = jnp.pad(x_tm, ((0, 0), (0, 0), (0, Cp - C)))
     iWp, bp, sWp, sW2p = pad_gru_params(iW, b, sW, sW2, in_pad=Cp)
-    from scrappie_tpu.ops import kernel_precision_name
+    if prec_name is None:
+        from scrappie_tpu.ops import kernel_precision_name
 
+        prec_name = kernel_precision_name()
     return gru_layer_fused_tm(x_tm, iWp, bp, sWp, sW2p, reverse=reverse,
-                              prec_name=kernel_precision_name())
+                              prec_name=prec_name)

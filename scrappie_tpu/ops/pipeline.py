@@ -161,18 +161,23 @@ def rnnrf_basecall_fused(params, sig, **kwargs):
     tensor is only 25 lanes wide, so unlike the transducer models it
     can materialise between stages without a memory-traffic penalty.
     """
+    from scrappie_tpu.ops import kernel_precision_name
+
+    kwargs.setdefault("prec_name", kernel_precision_name())
     return _rnnrf_basecall_fused(params, sig, **kwargs)
 
 
-@functools.partial(jax.jit, static_argnames=("conv_activation", "stride"))
+@functools.partial(jax.jit, static_argnames=("conv_activation", "stride",
+                                             "prec_name"))
 def _rnnrf_basecall_fused(params, sig, *, conv_activation: str = "elu",
-                          stride: int = 2, emit_bias=0.0):
+                          stride: int = 2, emit_bias=0.0,
+                          prec_name: str | None = None):
     from scrappie_tpu.decode.crf import _crf_viterbi_assoc
     from scrappie_tpu.models.forward import rnnrf_transitions_tm
 
     trans = rnnrf_transitions_tm(params, sig,
                                  conv_activation=conv_activation,
-                                 stride=int(stride))
+                                 stride=int(stride), prec_name=prec_name)
     ns = 5
     trans = trans.at[..., : (ns - 1) * ns].add(
         jnp.asarray(emit_bias, trans.dtype))

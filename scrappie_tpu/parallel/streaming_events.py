@@ -85,6 +85,7 @@ class EventsStreamingBasecaller(SampleBufferMixin):
                  tempb: float = 1.0, stay_pen: float = 0.0,
                  skip_pen: float = 0.0, local_pen: float = 2.0,
                  use_slip: bool = False, stats_mode: str = "prefix",
+                 feature_stats_override=None,
                  detection=EVENT_DETECTION_DEFAULTS, events_fn=None):
         if not 0 < overlap < chunk_len:
             raise ValueError("need 0 < overlap < chunk_len")
@@ -97,8 +98,17 @@ class EventsStreamingBasecaller(SampleBufferMixin):
         self._decode_args = (float(stay_pen), float(skip_pen),
                              float(local_pen), bool(use_slip))
         self._posterior_opts = (float(min_prob), float(tempW), float(tempb))
-        if stats_mode not in ("prefix", "frozen"):
+        if stats_mode not in ("prefix", "frozen", "fixed"):
             raise ValueError(f"unknown stats_mode {stats_mode!r}")
+        if stats_mode == "fixed":
+            if feature_stats_override is None:
+                raise ValueError(
+                    "stats_mode='fixed' needs feature_stats_override="
+                    "(mean*rsd, rsd) float32[4] pairs (e.g. from "
+                    "signal.features.feature_stats on a calibration read)")
+            self._fixed_stats = (
+                np.asarray(feature_stats_override[0], np.float32),
+                np.asarray(feature_stats_override[1], np.float32))
         self._stats_mode = stats_mode
         self._trim_left = int(trim_start)
         # events_fn: injected device half (EventsStreamingBatcher)
@@ -198,7 +208,13 @@ class EventsStreamingBasecaller(SampleBufferMixin):
         for comparison.  A degenerate opener — e.g. a blocked pore
         producing one flat event, hence zero variance — must NOT freeze
         all-zero scales that would blank every later chunk's features;
-        until a healthy chunk arrives, stats are per-chunk."""
+        until a healthy chunk arrives, stats are per-chunk.
+
+        'fixed' (round 3): externally supplied statistics — e.g. from a
+        calibration read on the same channel, or (in the gap-attribution
+        experiment, BASELINE.md) the oracle whole-read statistics."""
+        if self._stats_mode == "fixed":
+            return self._fixed_stats
         if self._stats_mode == "prefix":
             # nev >= 32 makes the median in the dwell guard meaningful
             # (a stalled chunk's single huge event IS its own median)

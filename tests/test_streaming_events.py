@@ -40,6 +40,38 @@ def test_events_stream_increment_invariance():
     assert sb1.nevent == sb2.nevent
 
 
+def test_events_stream_fixed_stats():
+    """stats_mode='fixed' (round 3): externally-calibrated statistics.
+
+    With the read's own whole-stream statistics the call must closely
+    match the prefix-mode call (prefix converges to these), and the
+    mode must validate its override.
+    """
+    from scrappie_tpu.signal.events import detect_events
+    from scrappie_tpu.signal.features import (feature_stats,
+                                              nanonet_features_from_events)
+    from scrappie_tpu.types import RawSignal
+
+    sig, _ = _sim_read(nbase=500, seed=43)
+    stats = feature_stats(nanonet_features_from_events(
+        detect_events(RawSignal(sig)), normalise=False))
+    sb = EventsStreamingBasecaller(CHUNK, OV, stats_mode="fixed",
+                                   feature_stats_override=stats)
+    sb.feed(sig)
+    sb.flush()
+    assert len(sb.sequence) > 100
+    sp = EventsStreamingBasecaller(CHUNK, OV)
+    sp.feed(sig)
+    sp.flush()
+    import Levenshtein
+
+    d = Levenshtein.distance(sb.sequence, sp.sequence)
+    assert d <= 0.1 * len(sp.sequence), (d, len(sp.sequence))
+
+    with pytest.raises(ValueError):
+        EventsStreamingBasecaller(CHUNK, OV, stats_mode="fixed")
+
+
 def test_events_stream_accuracy_vs_whole_read():
     import Levenshtein
 
