@@ -90,7 +90,9 @@ def decode_crf(trans, impl: str | None = None, emit_bias: float = 0.0):
 
     trans [T, ns^2] or [B, T, ns^2] -> (score, path [.., T+1] int32).
     impl: 'scan' (sequential, reference semantics), 'assoc'
-    (parallel-in-time associative scan), or None = assoc on TPU.
+    (parallel-in-time associative scan), 'kernel' (Pallas streamed
+    scan, ops/crf.py — identical paths incl. ties to 'scan'), or
+    None = assoc on TPU for small batches, scan otherwise.
 
     emit_bias: additive decode-time calibration on every transition
     INTO an emitting state (entry [t, st1*ns+st2] with st1 < ns-1).
@@ -112,10 +114,17 @@ def decode_crf(trans, impl: str | None = None, emit_bias: float = 0.0):
         ns = int(round(np.sqrt(t.shape[-1])))
         t = t.at[..., : (ns - 1) * ns].add(jnp.float32(emit_bias))
     if impl is None:
-        # assoc wins for small batches (the per-read decode case, ~4.6x
-        # at B=1); the sequential scan amortises better at large B.
-        impl = "assoc" if ops.on_tpu() and t.shape[0] <= 4 else "scan"
-    score, path = (_crf_viterbi_assoc if impl == "assoc" else _crf_viterbi)(t)
+        # On TPU the Pallas streamed scan wins at every batch size (and
+        # matches 'scan' exactly, ties included); off-TPU the kernel
+        # only runs in slow interpret mode, so use the lax.scan program.
+        impl = "kernel" if ops.on_tpu() else "scan"
+    if impl == "kernel":
+        from scrappie_tpu.ops.crf import crf_viterbi_kernel
+
+        score, path = crf_viterbi_kernel(t)
+    else:
+        score, path = (_crf_viterbi_assoc if impl == "assoc"
+                       else _crf_viterbi)(t)
     if squeeze:
         return float(score[0]), np.asarray(path[0])
     return np.asarray(score), np.asarray(path)

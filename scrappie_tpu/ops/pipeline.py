@@ -172,8 +172,8 @@ def rnnrf_basecall_fused(params, sig, **kwargs):
 def _rnnrf_basecall_fused(params, sig, *, conv_activation: str = "elu",
                           stride: int = 2, emit_bias=0.0,
                           prec_name: str | None = None):
-    from scrappie_tpu.decode.crf import _crf_viterbi_assoc
     from scrappie_tpu.models.forward import rnnrf_transitions_tm
+    from scrappie_tpu.ops.crf import crf_viterbi_kernel
 
     trans = rnnrf_transitions_tm(params, sig,
                                  conv_activation=conv_activation,
@@ -181,4 +181,8 @@ def _rnnrf_basecall_fused(params, sig, *, conv_activation: str = "elu",
     ns = 5
     trans = trans.at[..., : (ns - 1) * ns].add(
         jnp.asarray(emit_bias, trans.dtype))
-    return _crf_viterbi_assoc(trans)
+    # Pallas streamed CRF scan (batch on lanes): identical paths/ties
+    # to decode/crf._crf_viterbi, without the lax.scan's per-step loop
+    # machinery or the associative scan's 25x lane-padded [B,T,5,5]
+    # prefix maps (which blow HBM at bench-scale batches).
+    return crf_viterbi_kernel(trans)

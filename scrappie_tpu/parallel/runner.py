@@ -68,14 +68,21 @@ def _gather_decode(post, flat_idx, stay_pen, skip_pen, local_pen, use_slip):
     return viterbi_decode_batch(lp, stay_pen, skip_pen, local_pen, use_slip)
 
 
-@jax.jit
-def _gather_decode_crf(trans, flat_idx, emit_bias):
+@functools.partial(jax.jit, static_argnames=("impl",))
+def _gather_decode_crf(trans, flat_idx, emit_bias, impl: str = "scan"):
     """CRF twin of _gather_decode: stitch chunk transition blocks ON
     DEVICE and Viterbi-decode them.  The appended neutral block allows
     only moves INTO the blank state at cost 0 (same construction as
     chunk.neutral_pad_crf builds host-side), so trailing pad blocks
-    emit nothing and carry the real-block score unchanged."""
+    emit nothing and carry the real-block score unchanged.
+
+    impl: 'kernel' = Pallas streamed CRF scan (ops/crf.py; identical
+    paths incl. ties), 'scan' = lax.scan (the reference program; only
+    choice off-TPU).  The engine passes 'kernel' on TPU: a whole-read
+    decode at stride 2 is a 20-40k-step sequential scan, where the
+    lax.scan loop machinery dominates."""
     from scrappie_tpu.decode.crf import _crf_viterbi
+    from scrappie_tpu.ops.crf import crf_viterbi_kernel
 
     N, nb, nsq = trans.shape
     ns = int(round(nsq ** 0.5))
@@ -88,7 +95,7 @@ def _gather_decode_crf(trans, flat_idx, emit_bias):
     # (not static) so sweeping the calibration float never recompiles —
     # adding 0.0 is free
     t = t.at[..., : (ns - 1) * ns].add(jnp.asarray(emit_bias, jnp.float32))
-    return _crf_viterbi(t)
+    return (crf_viterbi_kernel if impl == "kernel" else _crf_viterbi)(t)
 
 
 class BasecallEngine:
@@ -327,8 +334,11 @@ class BasecallEngine:
 
             with self.stage("decode"):
                 if self.spec.kind == "rnnrf":
+                    from scrappie_tpu import ops as _ops
+
                     scores_d, paths_d = _gather_decode_crf(
-                        post, jnp.asarray(flat_idx), float(crf_emit_bias))
+                        post, jnp.asarray(flat_idx), float(crf_emit_bias),
+                        impl="kernel" if _ops.pallas_enabled() else "scan")
                 else:
                     scores_d, paths_d = _gather_decode(
                         post, jnp.asarray(flat_idx), float(stay_pen),

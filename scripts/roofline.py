@@ -44,11 +44,20 @@ def model_flops_per_sample(spec, S=96, Sp=128):
     # rec h@sW [*,Sp]x[Sp,2Sp], (r*h)@sW2 [*,Sp]x[Sp,Sp]
     gru_blk = 2 * (Sp * 3 * Sp + Sp * 2 * Sp + Sp * Sp)
     gru = 5 * gru_blk / st
-    head = 2 * Sp * nstate / st  # posterior head GEMM
-    # Viterbi per block: max/add over 1025 states with 4-pred step max,
-    # 16-pred skip max (reshape trick) ~ nstate * (1 + 4 + 16) ops
-    vit = nstate * 21 / st
-    return dict(conv=conv, gru=gru, head=head, viterbi=vit,
+    # padded head GEMM (nstate lane-padded to 1152 in the fused kernel)
+    nsp = -(-nstate // 128) * 128
+    head = 2 * Sp * nsp / st
+    nhist = nstate - 1
+    # Viterbi MXU work per block: the one-hot lane expansions
+    # (ops/viterbi.py _expand = 3 exact bf16 passes, + 1 pass for the
+    # traceback smallint expansion), for the step (q=nhist/4) and skip
+    # (q=nhist/16) moves.  The max/compare/select DP itself is VPU.
+    vit = (4 * 2 * (nhist // 4) * nhist      # step: 3-pass expand + ptb
+           + 4 * 2 * (nhist // 16) * nhist   # skip: 3-pass expand + ptb
+           ) / st
+    vit_vpu = nstate * 21 / st               # VPU compare/select ops
+    return dict(conv=conv, gru=gru, head=head, viterbi_mxu=vit,
+                viterbi_vpu_ops=vit_vpu,
                 total=conv + gru + head + vit)
 
 
@@ -153,7 +162,7 @@ def main():
     x5 = x0
     ct = next(c for c in (4, 2, 1) if x5.shape[0] % c == 0)
     vit_stage = functools.partial(
-        viterbi_fused_tm, W=params["FF_W"], b=params["FF_b"], ct=ct,
+        viterbi_fused_tm, W=params["FF_W"], bvec=params["FF_b"], ct=ct,
         prec_name=prec)
 
     @jax.jit
@@ -184,7 +193,7 @@ def main():
     print(f"\n== stage times (B={B}, T={T}, prec={prec}) ==")
     rows = [("conv(XLA)", t_conv, fl["conv"]),
             ("5x GRU", sum(gru_times), fl["gru"]),
-            ("head+viterbi", t_vit, fl["head"] + fl["viterbi"]),
+            ("head+viterbi", t_vit, fl["head"] + fl["viterbi_mxu"]),
             ("backtrace", t_bt, 0.0)]
     for name, t, f in rows:
         tf = f * samples / t / 1e12 if t else 0.0
@@ -222,6 +231,40 @@ def main():
                               f"FAILED: {str(e)[:100]}")
         finally:
             grumod._pick_batch_tile = orig
+
+        print("\n== Viterbi head ct / batch-tile sweep ==")
+        import scrappie_tpu.ops.viterbi as vitmod
+
+        origv = vitmod._pick_batch_tile
+        try:
+            for tile_limit in (128, 256):
+                vitmod._pick_batch_tile = functools.partial(
+                    origv, limit=tile_limit)
+                for ct in (2, 4, 8, 16):
+                    if x5.shape[0] % ct:
+                        continue
+                    try:
+                        stage = functools.partial(
+                            viterbi_fused_tm, W=params["FF_W"],
+                            bvec=params["FF_b"], ct=ct, prec_name=prec)
+
+                        @jax.jit
+                        def vloop(x):
+                            def body(i, acc):
+                                f, tb = stage(x)
+                                return acc + f[0, 0]
+
+                            return jax.lax.fori_loop(0, args.nrep, body, 0.0)
+
+                        t = timeit(vloop, x5) / args.nrep
+                        print(f"  tile<={tile_limit:4d} ct={ct:3d} "
+                              f"{t*1e3:8.2f} ms  "
+                              f"{samples/t/1e6:8.1f} Msamp/s")
+                    except Exception as e:
+                        print(f"  tile<={tile_limit:4d} ct={ct:3d} "
+                              f"FAILED: {str(e)[:120]}")
+        finally:
+            vitmod._pick_batch_tile = origv
 
 
 if __name__ == "__main__":

@@ -21,6 +21,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy end-to-end tier (see pyproject)
+
 ENV = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
 SMALL_FAST5 = "/root/reference/reads/read_ch228_file118.fast5"
 

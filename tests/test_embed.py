@@ -13,6 +13,8 @@ import sysconfig
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy end-to-end tier (see pyproject)
+
 REPO = pathlib.Path(__file__).resolve().parent.parent
 EMBED = REPO / "native" / "embed"
 

@@ -20,11 +20,14 @@ import pytest
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
+pytestmark = pytest.mark.slow  # heavy end-to-end tier (see pyproject)
+
 STUB = """
 import jax
 jax.config.update("jax_platforms", "cpu")
 import sys
 from scrappie_tpu.parallel.launcher import run
+
 sys.exit(run(sys.argv[1:]))
 """
 

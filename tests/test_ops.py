@@ -191,6 +191,26 @@ def test_raw_fused_pipeline_matches_two_stage(pens):
                                rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [(1, 7), (3, 16), (2, 33), (8, 5)])
+def test_crf_kernel_matches_scan(shape):
+    """Pallas CRF Viterbi kernel == lax.scan reference: identical paths
+    (including tie-breaks) and scores (round 3; ref decode_crf
+    src/decode.c:836-894)."""
+    from scrappie_tpu.decode.crf import _crf_viterbi
+    from scrappie_tpu.ops.crf import crf_viterbi_kernel
+
+    B, T = shape
+    rng = np.random.default_rng(31)
+    trans = rng.standard_normal((B, T, 25)).astype(np.float32) * 2.0
+    # inject exact ties to exercise first-max semantics
+    trans[:, T // 2, :10] = 0.5
+    s_ref, p_ref = _crf_viterbi(jnp.asarray(trans))
+    s_k, p_k = crf_viterbi_kernel(jnp.asarray(trans))
+    np.testing.assert_array_equal(np.asarray(p_k), np.asarray(p_ref))
+    np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.parametrize("emit_bias", [0.0, -1.0])
 def test_rnnrf_fused_pipeline_matches_two_stage(emit_bias):
     """rnnrf fast path == transitions + CRF Viterbi (round 3)."""

@@ -13,6 +13,8 @@ import Levenshtein
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy end-to-end tier (see pyproject)
+
 # Per-model floors sit ~0.02 under the identities measured at ship time
 # (BASELINE.md): rgrgr_r94 0.750/0.799, rgrgr_r941 0.714/0.763,
 # rgrgr_r10 0.701/0.743, raw_r94 0.699/0.755, rnnrf_r94 0.640/0.611

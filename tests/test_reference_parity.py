@@ -24,6 +24,8 @@ import subprocess
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy end-to-end tier (see pyproject)
+
 DRIVER = pathlib.Path(__file__).parent.parent / ".baseline" / "src" / "bench_driver"
 
 needs_driver = pytest.mark.skipif(not DRIVER.exists(),
