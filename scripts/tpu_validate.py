@@ -71,13 +71,22 @@ def main() -> int:
     ok &= run("kernel-parity",
               [sys.executable, "-m", "pytest", "-q",
                "tests/test_ops.py", "-k",
-               "viterbi or gru or dtw or seqmap or tm_matches"],
-              1200)
+               "viterbi or gru or dtw or seqmap or tm_matches or crf or "
+               "fused"],
+              1800)
     ok &= run("crf-device-stitch",
               [sys.executable, "-m", "pytest", "-q",
-               "tests/test_chunking.py", "-k", "crf_device_stitch"], 900)
+               "tests/test_chunking.py", "-k",
+               "crf_device_stitch or fast_mode_all_kinds"], 900)
+    ok &= run("roofline", [sys.executable, "scripts/roofline.py"], 900)
     ok &= run("engine-bench",
               [sys.executable, "scripts/bench_engine.py"], 1200)
+    ok &= run("engine-bench-rnnrf",
+              [sys.executable, "scripts/bench_engine.py", "--model",
+               "rnnrf_r94", "--nreads", "16"], 1200)
+    ok &= run("engine-bench-raw",
+              [sys.executable, "scripts/bench_engine.py", "--model",
+               "raw_r94", "--nreads", "32", "--modes", "fast"], 1200)
     ok &= run("streaming-serving",
               [sys.executable, "-m", "pytest", "-q",
                "tests/test_streaming.py", "tests/test_streaming_events.py",
