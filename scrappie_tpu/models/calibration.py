@@ -37,7 +37,9 @@ REFERENCE_DEFAULTS: dict[str, float] = {
 #: the (0,0) default is quoted in BASELINE.md).  Refit with
 #: scripts/calibrate_decode.py whenever shipped weights change — the
 #: rnnrf optimum moved from -2.0 to -1.0 when its weights were
-#: checkpoint-averaged.
+#: checkpoint-averaged (round 2), and to -0.5 for the round-3
+#: empirical-sim-averaged weights (refit sweep 0/-0.5/-1/-1.5/-2:
+#: best -0.5 = 0.6426/0.6288 whole-read).
 #: Robustness rule: on reads the grid never saw, a positive skip
 #: penalty can collapse the whole call into the decoder's local
 #: start/end states (measured on the third bundled read: events
@@ -51,7 +53,7 @@ REAL_CALIBRATION: dict[str, dict[str, float]] = {
     "raw_r94": {"stay_pen": 1.0, "skip_pen": 0.0},
     "rgrgr_r941": {"stay_pen": 1.0, "skip_pen": 0.0},
     "rgrgr_r10": {"stay_pen": 1.0, "skip_pen": 0.0},
-    "rnnrf_r94": {"crf_emit_bias": -1.0},
+    "rnnrf_r94": {"crf_emit_bias": -0.5},
     "nanonet_events": {"stay_pen": 1.0, "skip_pen": 0.0},
 }
 

@@ -30,8 +30,8 @@ def test_preset_real_per_model():
     assert calibration.preset("rgrgr_r10", "real") == {
         "stay_pen": 1.0, "skip_pen": 0.0}
     # the CRF model's knob is the emit bias, not stay/skip (refit at
-    # -1.0 for the checkpoint-averaged weights — BASELINE.md)
-    assert calibration.preset("rnnrf_r94", "real") == {"crf_emit_bias": -1.0}
+    # -0.5 for the round-3 averaged weights — BASELINE.md)
+    assert calibration.preset("rnnrf_r94", "real") == {"crf_emit_bias": -0.5}
     assert calibration.preset("nanonet_events", "real") == {
         "stay_pen": 1.0, "skip_pen": 0.0}
     # unknown model -> no preset
@@ -87,7 +87,7 @@ def test_api_basecall_raw_expands_preset(monkeypatch):
     assert seen["rgrgr_r94"]["skip_pen"] == 0.5
 
     api.basecall_raw(sig, model="rnnrf_r94", calibration="real")
-    assert seen["rnnrf_r94"] == {"emit_bias": -1.0}
+    assert seen["rnnrf_r94"] == {"emit_bias": -0.5}
 
     # explicit kwarg beats the preset
     api.basecall_raw(sig, model="rgrgr_r94", calibration="real", stay_pen=9.0)

@@ -238,6 +238,7 @@ def test_stitch_paths_midpoint_assembly():
         assert b == c
 
 
+@pytest.mark.slow
 def test_launcher_single_process_virtual_mesh(reads_dir, tmp_path):
     """Launcher plumbing: file sharding + global-mesh engine on the
     8-device virtual CPU mesh, single process."""
@@ -318,6 +319,7 @@ def test_engine_device_stitch_compiles_once(reads_dir):
     assert runner._gather_decode._cache_size() == n0
 
 
+@pytest.mark.slow
 def test_engine_pipeline_depth_equivalence(reads_dir):
     """Double buffering (pipeline_depth>1) must not change results:
     multi-group device-stitch and fast-mode runs agree with the fully

@@ -183,6 +183,7 @@ def test_crf_lattice_bounded_by_partition(local_pen):
     assert (logp <= logz + 1e-4).all()
 
 
+@pytest.mark.slow
 def test_crf_lattice_gradients_finite():
     import jax
 

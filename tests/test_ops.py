@@ -374,6 +374,7 @@ def test_seqmap_dispatch_full():
     np.testing.assert_array_equal(p, p_ref)
 
 
+@pytest.mark.slow
 def test_viterbi_kernel_shape_fuzz():
     """Randomised (B, T, nstate) sweep: the kernels' padding/grid-edge
     arithmetic must hold across the whole shape envelope, not just the
@@ -399,6 +400,7 @@ def test_viterbi_kernel_shape_fuzz():
             trial, B, T, nhist, use_slip)
 
 
+@pytest.mark.slow
 def test_gru_kernel_shape_fuzz():
     """Randomised (B, T, C, S, reverse) sweep of the GRU kernel vs the
     scan reference — guards the padding/edge arithmetic across the

@@ -17,12 +17,13 @@ pytestmark = pytest.mark.slow  # heavy end-to-end tier (see pyproject)
 
 # Per-model floors sit ~0.02 under the identities measured at ship time
 # (BASELINE.md): rgrgr_r94 0.750/0.799, rgrgr_r941 0.714/0.763,
-# rgrgr_r10 0.701/0.743, raw_r94 0.699/0.755, rnnrf_r94 0.640/0.611
-# (checkpoint-averaged).  The flagship model is
+# rgrgr_r10 0.701/0.743, raw_r94 0.699/0.755, rnnrf_r94 0.641/0.621
+# (round 3: averaged with the scaled-empirical-sim checkpoint, up from
+# 0.640/0.611).  The flagship model is
 # checked on both reads; the variants basecall only the shorter read
 # (ch271_read66) to keep the suite's wall-clock down.
 FLOORS = {"rgrgr_r94": 0.72, "rgrgr_r941": 0.69, "rgrgr_r10": 0.68,
-          "raw_r94": 0.72, "rnnrf_r94": 0.59}
+          "raw_r94": 0.72, "rnnrf_r94": 0.60}
 ALL_READS = {"rgrgr_r94"}
 
 _RC = str.maketrans("ACGT", "TGCA")
