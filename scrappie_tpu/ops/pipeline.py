@@ -85,7 +85,11 @@ def _rgrgr_basecall_fused(params, sig, *, conv_activation: str = "elu",
         x = gru_layer_fused_tm(x, iWp, bgp, sWp, sW2p, reverse=(d == "b"),
                                prec_name=prec_name)
 
-    ct = next(c for c in (4, 2, 1) if x.shape[0] % c == 0)
+    # Fused-head time unroll, measured on v5e (scripts/roofline.py
+    # sweep + bench A/B): bf16 prefers ct=8 (+4%), the exact-f32 path
+    # ct=4; 16 exceeds VMEM.
+    cts = (8, 4, 2, 1) if prec_name == "default" else (4, 2, 1)
+    ct = next(c for c in cts if x.shape[0] % c == 0)
     final, tb = viterbi_fused_tm(
         x, params["FF_W"], params["FF_b"], min_prob=min_prob, tempW=tempW,
         tempb=tempb, stay_pen=stay_pen, skip_pen=skip_pen,
@@ -142,7 +146,8 @@ def _raw_basecall_fused(params, sig, *, stride: int = 4, min_prob=1e-5,
         x = _ff2_tanh_padded(hs["F"], hs["B"], params[f"FF{layer}_Wf"],
                              params[f"FF{layer}_Wb"], params[f"FF{layer}_b"])
 
-    ct = next(c for c in (4, 2, 1) if x.shape[0] % c == 0)
+    cts = (8, 4, 2, 1) if prec_name == "default" else (4, 2, 1)
+    ct = next(c for c in cts if x.shape[0] % c == 0)
     final, tb = viterbi_fused_tm(
         x, params["FF3_W"], params["FF3_b"], min_prob=min_prob, tempW=tempW,
         tempb=tempb, stay_pen=stay_pen, skip_pen=skip_pen,

@@ -19,6 +19,10 @@ per-step GEMV loop at src/layers.c:472-527.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import functools
 import time
 
