@@ -113,6 +113,17 @@ def rnnrf_transitions(params, sig, *, conv_activation="elu", stride=2,
         return rnnrf_transitions_tm(params, sig,
                                     conv_activation=conv_activation,
                                     stride=stride)
+    x = rnnrf_features(params, sig, conv_activation=conv_activation,
+                       stride=stride)
+    return checked(globalnorm(x, params["FF_W"], params["FF_b"]),
+                   "rnnrf.globalnorm")
+
+
+def rnnrf_features(params, sig, *, conv_activation="elu", stride=2):
+    """Pre-head features of the rnnrf stack: conv -> 5 residual GRUs,
+    [B, nblock, 96] (everything of rnnrf_transitions except the
+    globalnorm CRF head; ref src/networks.c:567-607).  Used to train the
+    transition head alone on precomputed features (train/wholeread.py)."""
     x = conv1d(sig, params["conv_W"], params["conv_b"], int(stride))
     x = _CONV_ACT[conv_activation](x)
     for i, d in enumerate(GRU_DIRS, start=1):
@@ -120,8 +131,7 @@ def rnnrf_transitions(params, sig, *, conv_activation="elu", stride=2,
         xin = feedforward(x, params[f"{pre}_iW"], params[f"{pre}_b"])
         gx = gru(xin, params[f"{pre}_sW"], params[f"{pre}_sW2"], reverse=(d == "b"))
         x = checked(x + gx, f"rnnrf.res_{pre}")  # residual (ref :583-607)
-    return checked(globalnorm(x, params["FF_W"], params["FF_b"]),
-                   "rnnrf.globalnorm")
+    return x
 
 
 def rnnrf_transitions_tm(params, sig, *, conv_activation="elu", stride=2,

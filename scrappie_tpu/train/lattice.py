@@ -108,6 +108,12 @@ def lattice_loss_fn(params, sig, seqstates, model: str, stay_pen=0.0,
 @jax.jit
 def crf_lattice_forward_batch(trans, bases, local_pen=4.0):
     """Batched forward score of base sequences under CRF transitions.
+    (jitted wrapper; see _crf_lattice_forward_impl)"""
+    return _crf_lattice_forward_impl(trans, bases, local_pen, jax.lax.scan)
+
+
+def _crf_lattice_forward_impl(trans, bases, local_pen, scan_fn):
+    """Batched forward score of base sequences under CRF transitions.
 
     Marginalises over all state paths that emit the sequence — the CRF
     analogue of CTC.  States are {A,C,G,T,-} with energy
@@ -177,7 +183,7 @@ def crf_lattice_forward_batch(trans, bases, local_pen=4.0):
         new_end = jnp.logaddexp(end + local_stay, exit_c)
         return (new_e, new_s, new_start, new_end), None
 
-    (a_e, a_s, _, end), _ = jax.lax.scan(
+    (a_e, a_s, _, end), _ = scan_fn(
         step, init, jnp.moveaxis(trans, 1, 0))
     last_e = jnp.take_along_axis(a_e, seqlen[:, None], axis=1)[:, 0]
     last_s = jnp.take_along_axis(a_s, seqlen[:, None], axis=1)[:, 0]
@@ -186,6 +192,12 @@ def crf_lattice_forward_batch(trans, bases, local_pen=4.0):
 
 @jax.jit
 def crf_local_partition(trans, local_pen=4.0):
+    """Partition function of the locally-extended CRF lattice.
+    (jitted wrapper; see _crf_local_partition_impl)"""
+    return _crf_local_partition_impl(trans, local_pen, jax.lax.scan)
+
+
+def _crf_local_partition_impl(trans, local_pen, scan_fn):
     """Partition function of the locally-extended CRF lattice.
 
     Sums over ALL base sequences and state paths under exactly the
@@ -221,7 +233,7 @@ def crf_local_partition(trans, local_pen=4.0):
         return jnp.concatenate(
             [new_start[:, None], new5, new_end[:, None]], axis=1), None
 
-    z, _ = jax.lax.scan(step, init, jnp.moveaxis(trans, 1, 0))
+    z, _ = scan_fn(step, init, jnp.moveaxis(trans, 1, 0))
     return jnp.logaddexp(jax.nn.logsumexp(z[:, 1 : 1 + ns], axis=-1),
                          z[:, 1 + ns])
 

@@ -1,0 +1,186 @@
+"""Whole-region CRF fine-tuning of rnnrf_r94 on the bundled real reads.
+
+The untried attack on the rnnrf real-read gap (BASELINE.md rounds 2-3):
+all previous real-data training used short windows; this trains the
+canonical whole-region way (train/wholeread.py) — one long region per
+read, truth sequence marginalised over alignments by the sound lattice
+pair, endpoint uncertainty reduced to two ends per ~25k blocks.
+
+Modes:
+  head  — freeze conv+GRU stack, fit only the 96->25 transition head on
+          precomputed features (fast; cannot forget the sim acoustics).
+  full  — all parameters, optionally interleaving simulated window
+          lattice steps to guard the sim distribution.
+
+Protocol matches scripts/finetune_real.py: training touches only the
+head 75% of each read; eval basecalls the held-out tails (and
+optionally whole reads) + simulated identity.
+
+Usage:
+  python scripts/train_wholeread_crf.py --mode head --steps 200
+  python scripts/train_wholeread_crf.py --mode full --steps 120 --lr 1e-4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from scrappie_tpu.utils.platform import apply_platform_override
+
+apply_platform_override()
+
+MODEL = "rnnrf_r94"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["head", "full"], default="head")
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="default: 3e-3 head, 1e-4 full")
+    ap.add_argument("--local-pen", type=float, default=4.0)
+    ap.add_argument("--chunk", type=int, default=256)
+    ap.add_argument("--train-reads", type=int, nargs="*", default=None)
+    ap.add_argument("--eval-reads", type=int, nargs="*", default=None)
+    ap.add_argument("--eval-every", type=int, default=50)
+    ap.add_argument("--eval-whole", action="store_true")
+    ap.add_argument("--sim-every", type=int, default=0,
+                    help="full mode: every N steps add one simulated "
+                         "window lattice step (0 = off)")
+    ap.add_argument("--init", default=None)
+    ap.add_argument("--save", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    import optax
+
+    from finetune_real import eval_real, load_reads
+    from train_models import evaluate as eval_sim
+
+    from scrappie_tpu.models import registry
+    from scrappie_tpu.models.specs import RAW_MODELS
+    from scrappie_tpu.train import wholeread
+    from scrappie_tpu.train.realdata import RealReadSampler
+
+    spec = RAW_MODELS[MODEL]
+    reads = load_reads()
+    train_idxs = (args.train_reads if args.train_reads is not None
+                  else list(range(len(reads))))
+    eval_idxs = (args.eval_reads if args.eval_reads is not None
+                 else list(range(len(reads))))
+    eval_sampler = RealReadSampler(reads, seed=args.seed)
+
+    if args.init:
+        params = dict(np.load(args.init))
+    else:
+        params = registry.load_params(MODEL)
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+
+    # Training regions (head 75% of each read, trimmed to chunk blocks).
+    regions = []
+    for i in train_idxs:
+        r = reads[i]
+        train_end = int(r.nsample * 0.75)
+        sig, bases = wholeread.region_sequence(r, train_end, spec.stride,
+                                               args.chunk)
+        print(f"[{r.name}] region {len(sig)} samples -> "
+              f"{len(sig)//spec.stride} blocks, {len(bases)} bases",
+              flush=True)
+        regions.append((sig[None, :, None], bases[None, :]))
+
+    lr = args.lr if args.lr is not None else (3e-3 if args.mode == "head"
+                                              else 1e-4)
+    optimizer = optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr)),
+        max_consecutive_errors=25)
+
+    if args.mode == "head":
+        from scrappie_tpu.models import forward
+
+        feats = [np.asarray(forward.rnnrf_features(
+                     params, jnp.asarray(sig),
+                     conv_activation=spec.conv_activation,
+                     stride=spec.stride))
+                 for sig, _ in regions]
+        head = {k: params[k] for k in wholeread.HEAD_KEYS}
+        opt_state = optimizer.init(head)
+        step_fn = wholeread.make_head_step(optimizer, args.local_pen,
+                                           args.chunk)
+    else:
+        opt_state = optimizer.init(params)
+        step_fn = wholeread.make_wholeread_step(MODEL, optimizer,
+                                                args.local_pen, args.chunk)
+        sim_step = None
+        if args.sim_every:
+            from scrappie_tpu.train.lattice import make_lattice_train_step
+            from scrappie_tpu.train.simulate import SquiggleSimulator
+
+            sim = SquiggleSimulator(seed=args.seed + 1)
+            sim_step = make_lattice_train_step(MODEL, optimizer,
+                                               local_pen=args.local_pen)
+            sim_L = (4000 // spec.stride) * 3 // 4 // 128 * 128
+
+    def current_params():
+        if args.mode == "head":
+            out = dict(params)
+            out.update({k: head[k] for k in wholeread.HEAD_KEYS})
+            return out
+        return params
+
+    def run_eval(tag):
+        p = current_params()
+        ident = eval_real(MODEL, p, eval_sampler, eval_idxs,
+                          whole=args.eval_whole)
+        print(f"[{tag}] held-out identity {ident:.4f}", flush=True)
+        return ident, p
+
+    best = (-1.0, None)
+    t0 = time.time()
+    for i in range(args.steps):
+        sig, bases = regions[i % len(regions)]
+        if args.mode == "head":
+            head, opt_state, loss = step_fn(head, opt_state,
+                                            jnp.asarray(feats[i % len(regions)]),
+                                            jnp.asarray(bases))
+        else:
+            params, opt_state, loss = step_fn(params, opt_state,
+                                              jnp.asarray(sig),
+                                              jnp.asarray(bases))
+            if sim_step is not None and args.sim_every and \
+                    i % args.sim_every == args.sim_every - 1:
+                sigs, seqs = sim.seq_batch(8, 4000, sim_L)
+                params, opt_state, _ = sim_step(params, opt_state, sigs, seqs)
+        if i % 10 == 0 or i == args.steps - 1:
+            print(f"step {i}: nll/block {float(loss):.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+        if args.eval_every and (i + 1) % args.eval_every == 0:
+            ident, p = run_eval(f"step {i}")
+            if np.isfinite(ident) and ident > best[0]:
+                best = (ident, {k: np.asarray(v) for k, v in p.items()})
+
+    ident, p = run_eval("final")
+    if np.isfinite(ident) and ident > best[0]:
+        best = (ident, {k: np.asarray(v) for k, v in p.items()})
+
+    if best[1] is not None:
+        simid = eval_sim(MODEL, {k: jnp.asarray(v)
+                                 for k, v in best[1].items()})
+        print(f"best held-out {best[0]:.4f}, sim identity {simid:.4f}",
+              flush=True)
+        save = args.save or os.path.join(
+            os.path.dirname(__file__), "..", ".cache",
+            f"wholeread_{args.mode}.npz")
+        np.savez_compressed(save, **best[1])
+        print(f"saved -> {save}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
