@@ -57,6 +57,32 @@ REAL_CALIBRATION: dict[str, dict[str, float]] = {
     "nanonet_events": {"stay_pen": 1.0, "skip_pen": 0.0},
 }
 
+#: sha256 (16-hex prefix) of the shipped weight npz each preset was fit
+#: against.  Presets go stale whenever weights change — the rnnrf emit
+#: bias moved -2.0 -> -1.0 -> -0.5 across three weight ships
+#: (BASELINE.md) — so tests/test_calibration.py fails when a model's
+#: shipped npz no longer matches, pointing at
+#: scripts/calibrate_decode.py for the refit.  Update the hash here
+#: together with the refit values.
+CALIBRATED_WEIGHT_SHA: dict[str, str] = {
+    "rgrgr_r94": "9ce33cc519d9e741",
+    "raw_r94": "c2a196e59ec4b17d",
+    "rgrgr_r941": "c4ed12dfe0c7e719",
+    "rgrgr_r10": "0fd0d169ba965e7c",
+    "rnnrf_r94": "c19024bb75ffa2fd",
+    "nanonet_events": "b38aa8221e20c1ff",
+}
+
+
+def weights_sha(model: str) -> str:
+    """16-hex sha256 prefix of the model's shipped npz weight file."""
+    import hashlib
+
+    from scrappie_tpu.models.registry import weights_path
+
+    return hashlib.sha256(weights_path(model).read_bytes()).hexdigest()[:16]
+
+
 PRESETS = ("reference", "real")
 
 #: Runtime guard for the skip-penalty collapse mode documented above:

@@ -157,3 +157,21 @@ def test_serve_submit_expands_preset():
         f2.result(10)
     assert len(calls) == 1  # one shared engine call: identical options
     assert calls[0] == {"stay_pen": 0.5, "skip_pen": 0.5}
+
+
+def test_presets_bound_to_shipped_weight_hashes():
+    """Every calibrated model's shipped npz must be the one its preset
+    was fit against (VERDICT r3 weak #7: the rnnrf emit-bias churn
+    proved presets rot silently when weights change).  If this fails:
+    re-run scripts/calibrate_decode.py for the model, update
+    REAL_CALIBRATION, and record the new hash in CALIBRATED_WEIGHT_SHA.
+    """
+    assert set(calibration.CALIBRATED_WEIGHT_SHA) == set(
+        calibration.REAL_CALIBRATION)
+    for model, expect in calibration.CALIBRATED_WEIGHT_SHA.items():
+        got = calibration.weights_sha(model)
+        assert got == expect, (
+            f"{model}: shipped weights (sha {got}) differ from the ones "
+            f"the 'real' calibration preset was fit against ({expect}); "
+            f"refit with scripts/calibrate_decode.py and update "
+            f"CALIBRATED_WEIGHT_SHA")
