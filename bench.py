@@ -222,6 +222,39 @@ def main():
             times.append(time.perf_counter() - t0)
         return groups * batch * CHUNK_LEN / min(times)
 
+    def measure_events(prec_name="default"):
+        """Fused events fast path (round 4): window -> 2x biLSTM Pallas
+        kernels -> fused head+Viterbi.  Blocks are EVENTS (stride 1);
+        throughput is reported in events/s and converted to raw-signal
+        samples/s with the bundled-read ratio (~5.0 samples/event on
+        ch174, BASELINE.md) for comparability."""
+        import functools
+
+        from scrappie_tpu.ops.pipeline import events_basecall_fused
+
+        T_EV = 2048
+        eparams = {k: jnp.asarray(v)
+                   for k, v in registry.load_params("nanonet_events").items()}
+        feats = jnp.asarray(
+            rng.standard_normal((groups, batch, T_EV, 4)), dtype=jnp.float32)
+        fused = functools.partial(events_basecall_fused,
+                                  prec_name=prec_name)
+
+        @jax.jit
+        def pipe(params, feats):
+            return jax.lax.map(lambda f: fused(params, f), feats)
+
+        for _ in range(warmup):
+            score, _ = pipe(eparams, feats)
+            np.asarray(score.ravel()[0])
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            score, _ = pipe(eparams, feats)
+            np.asarray(score.ravel()[0])
+            times.append(time.perf_counter() - t0)
+        return groups * batch * T_EV / min(times)
+
     result = {
         "metric": "rgrgr_r94 raw samples/sec/chip (fused conv+GRU+posterior+Viterbi decode, bf16 fast path)",
         "value": round(sps, 1),
@@ -236,6 +269,12 @@ def main():
                 measure_model("raw_r94"), 1)
             result["rnnrf_r94_samples_per_sec"] = round(
                 measure_model("rnnrf_r94"), 1)
+            ev_per_sec = measure_events()
+            result["nanonet_events_events_per_sec"] = round(ev_per_sec, 1)
+            # samples/event measured on the bundled ch174 read (16,232
+            # events over 80,790 trimmed samples — BASELINE.md round 4)
+            result["nanonet_events_samples_per_sec"] = round(
+                ev_per_sec * 5.0, 1)
     if not on_device:
         result["platform"] = "cpu"
         result["precision"] = "f32 (precision flags are no-ops on the CPU backend)"

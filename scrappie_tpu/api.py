@@ -266,10 +266,14 @@ def basecall_events(data, *, trim_start=200, trim_end=10, varseg_chunk=100,
     feats = nanonet_features_from_events(et, normalise=True)
 
     params = registry.load_params("nanonet_events")
-    lp = np.asarray(
-        forward.events_posterior(params, feats[None], min_prob=min_prob,
-                                 tempW=tempW, tempb=tempb, return_log=True)
-    )[0]
+    # The log-posterior stays a device array: decode_transducer runs on
+    # device and only the int path/score transfer.  Pulling the
+    # [nev, 1025] posterior to the host costs ~66 MB/read (820 B/block)
+    # — the same transfer ceiling the raw engine's device-stitch mode
+    # exists to avoid (BASELINE.md round-2 engine table).
+    lp = forward.events_posterior(params, feats[None], min_prob=min_prob,
+                                  tempW=tempW, tempb=tempb,
+                                  return_log=True)[0]
     nev, nstate = lp.shape
     score, path = decode_transducer(lp, stay_pen, skip_pen, local_pen, use_slip)
     pos = np.zeros(nev + 1, dtype=np.int64)

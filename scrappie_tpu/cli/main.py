@@ -147,6 +147,18 @@ def build_parser():
     ev.add_argument("--dump", default=None, help="Dump annotated events to HDF5 file")
     ev.add_argument("--hdf5-compression", type=int, default=1)
     ev.add_argument("--hdf5-chunk", type=int, default=200)
+    ev.add_argument("--chunk-len", type=int, default=2048,
+                    help="Chunk length in EVENTS (TPU batching)")
+    ev.add_argument("--overlap", type=int, default=256,
+                    help="Chunk overlap in events")
+    ev.add_argument("--batch", type=int, default=8, help="Device batch size")
+    ev.add_argument("--fast", action="store_true", default=False,
+                    help="Fused per-chunk decode + path stitching (TPU; "
+                         "dwell correction still applies)")
+    ev.add_argument("--profile", default=None, metavar="DIR",
+                    help="Capture a JAX profiler (XPlane) trace to DIR")
+    ev.add_argument("--stage-report", action="store_true", default=False,
+                    help="Log per-stage wall-clock timings (JSON, stderr)")
     ev.add_argument("files", nargs="+", help="fast5 files or directories")
 
     # ---- squiggle
@@ -202,7 +214,7 @@ def build_parser():
     sv.add_argument("--port", type=int, default=7777)
     sv.add_argument("--model", default="rgrgr_r94",
                     choices=["raw_r94", "rgrgr_r94", "rgrgr_r941",
-                             "rgrgr_r10", "rnnrf_r94"])
+                             "rgrgr_r10", "rnnrf_r94", "nanonet_events"])
     sv.add_argument("--batch", type=int, default=8, help="Device batch size")
     sv.add_argument("--chunk-len", type=int, default=10000)
     sv.add_argument("--overlap", type=int, default=1000)
@@ -336,63 +348,89 @@ def main_raw(args) -> int:
 
 
 def main_events(args) -> int:
+    """Events basecall driver, batched through the BasecallEngine
+    (round 4): reads fan into bucketed [B, chunk_ev, 4] device calls —
+    the TPU-shaped replacement for the reference's OpenMP per-read
+    fan-out (ref src/scrappie_events.c:376-416)."""
+    import contextlib
     import json
 
-    from scrappie_tpu.api import basecall_events
-    from scrappie_tpu.io.fast5 import iterate_fast5, read_raw_all
     from scrappie_tpu.io.fasta import format_sam
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.utils.tracing import profile
 
     if args.format == "fastq":
-        print("--format fastq is only available for `raw` (the events "
-              "pipeline corrects dwell after decoding, which invalidates "
-              "block-posterior qualities)", file=sys.stderr)
-        return 1
-    files = iterate_fast5(args.files)
-    if args.limit:
-        files = files[: args.limit]
-    fh = _out(args)
-    reads: list = []
-    for f in files:
-        try:
-            sigs = read_raw_all(f)
-        except Exception as e:
-            print(f"Failed to read {f}: {e}", file=sys.stderr)
-            continue
-        reads.extend((f if len(sigs) == 1 else f"{f}:{rs.uuid}", rs)
-                     for rs in sigs)
+        if args.fast:
+            print("--format fastq needs whole-read posteriors; "
+                  "incompatible with --fast", file=sys.stderr)
+            return 1
+        if args.dwell_correction:
+            print("--format fastq for events requires --no-dwell: dwell "
+                  "correction rewrites homopolymer run lengths after the "
+                  "qualities are derived from the block posteriors",
+                  file=sys.stderr)
+            return 1
+
+    batch = max(args.batch, args.threads or 0)
+    engine = BasecallEngine("nanonet_events", chunk_len=args.chunk_len,
+                            overlap=args.overlap, batch_size=batch,
+                            min_prob=args.min_prob, tempW=args.temperature1,
+                            tempb=args.temperature2,
+                            mode="fast" if args.fast else "stitch")
+    call_kwargs = dict(
+        trim_start=args.trim[0], trim_end=args.trim[1],
+        varseg_chunk=args.segmentation[0], varseg_thresh=args.segmentation[1],
+        stay_pen=args.stay_pen, skip_pen=args.skip_pen,
+        local_pen=args.local_pen, use_slip=args.use_slip,
+        dwell_correction=args.dwell_correction,
+        with_qualities=args.format == "fastq",
+    )
     from scrappie_tpu.models import calibration
 
-    call_kwargs = calibration.apply("nanonet_events", args.calibration, dict(
-        stay_pen=args.stay_pen, skip_pen=args.skip_pen, local_pen=args.local_pen))
-    for f, rs in reads:
-        seq, score, et, start, end = basecall_events(
-            rs.raw, trim_start=args.trim[0], trim_end=args.trim[1],
-            varseg_chunk=args.segmentation[0], varseg_thresh=args.segmentation[1],
-            min_prob=args.min_prob, tempW=args.temperature1, tempb=args.temperature2,
-            use_slip=args.use_slip, dwell_correction=args.dwell_correction,
-            **call_kwargs,
-        )
-        if seq is None:
-            print(f"No basecall for {f}", file=sys.stderr)
+    calibration.apply("nanonet_events", args.calibration, call_kwargs)
+
+    fh = _out(args)
+    nread = 0
+    prof = profile(args.profile) if args.profile else contextlib.nullcontext()
+    with prof:
+        results = engine.basecall_files(args.files, limit=args.limit,
+                                        **call_kwargs)
+    for name, r in results:
+        if r.sequence is None:
+            print(f"No basecall for {name}", file=sys.stderr)
             continue
-        nev = et.end - et.start
-        primary = (rs.uuid or str(f)) if args.uuid else str(f)
-        if args.format == "fasta":
-            meta = {"filename": str(f), "uuid": rs.uuid or "",
-                    "normalised_score": -score / nev, "nevent": nev,
-                    "sequence_length": len(seq),
-                    "events_per_base": nev / len(seq),
-                    "nsample": rs.n, "trim": [start, end]}
-            fh.write(f">{args.prefix}{primary}  {json.dumps(meta)}\n{seq}\n")
+        nread += 1
+        primary = (r.uuid or name) if args.uuid else name
+        nev = r.nblock
+        if args.format == "sam":
+            fh.write(format_sam(primary, r.sequence, prefix=args.prefix,
+                                qual=r.qual))
         else:
-            fh.write(format_sam(primary, seq, prefix=args.prefix))
-        if args.dump:
+            meta = {"filename": name, "uuid": r.uuid or "",
+                    "normalised_score": -r.score / max(nev, 1),
+                    "nevent": nev, "sequence_length": len(r.sequence),
+                    "events_per_base": nev / len(r.sequence),
+                    "nsample": r.nsample,
+                    "trim": [r.trim_start, r.trim_end]}
+            if args.format == "fasta":
+                fh.write(f">{args.prefix}{primary}  {json.dumps(meta)}\n"
+                         f"{r.sequence}\n")
+            else:
+                fh.write(f"@{args.prefix}{primary}  {json.dumps(meta)}\n"
+                         f"{r.sequence}\n+\n{r.qual or ''}\n")
+        if args.dump and r.events is not None:
             from scrappie_tpu.io.fast5 import write_annotated_events
 
-            write_annotated_events(args.dump, str(f).replace("/", "_"), et,
-                                   args.hdf5_chunk, args.hdf5_compression)
+            write_annotated_events(args.dump, name.replace("/", "_"),
+                                   r.events, args.hdf5_chunk,
+                                   args.hdf5_compression)
+    if args.stage_report:
+        import json as _json
+
+        print(_json.dumps({"stages": engine.stage.report()}), file=sys.stderr)
     if fh is not sys.stdout:
         fh.close()
+    print(f"Basecalled {nread} reads", file=sys.stderr)
     return 0
 
 

@@ -52,10 +52,12 @@ class SquiggleModelSpec:
 @dataclasses.dataclass(frozen=True)
 class EventsModelSpec:
     name: str = "nanonet_events"
+    kind: str = "events"
     winlen: int = 3
     nfeature: int = 4
     size: int = 96
     nstate: int = NSTATE_TRANSDUCER
+    stride: int = 1  # one block per event (chunk coordinates are events)
     synthetic: bool = True  # nanonet_events.h is absent from the reference
 
 

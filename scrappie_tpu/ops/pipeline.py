@@ -156,6 +156,67 @@ def _raw_basecall_fused(params, sig, *, stride: int = 4, min_prob=1e-5,
     return score[:B], path[:B]
 
 
+def events_basecall_fused(params, feats, **kwargs):
+    """nanonet events fast path: feats [B, T, 4] -> (logscore [B],
+    path [B, T+1] int32).
+
+    Matches events_posterior + decode_transducer (ref
+    src/networks.c:146-194 + src/decode.c:123-365): window(3), two
+    biLSTM stages through the fused Pallas peephole-LSTM kernels
+    (ops/lstm.py), feedforward2_tanh combines, then the same fused
+    posterior-head+Viterbi kernel the raw models use — the
+    [T, B, 1025] posterior never materialises.  Paths are identical
+    to the lax.scan reference programs at the default HIGHEST
+    precision (same kernel family, same guarantee as the raw paths).
+    """
+    from scrappie_tpu.ops import kernel_precision_name
+
+    kwargs.setdefault("prec_name", kernel_precision_name())
+    return _events_basecall_fused(params, feats, **kwargs)
+
+
+@functools.partial(jax.jit, static_argnames=("winlen", "use_slip",
+                                             "prec_name"))
+def _events_basecall_fused(params, feats, *, winlen: int = 3, min_prob=1e-5,
+                           tempW=1.0, tempb=1.0, stay_pen=0.0, skip_pen=0.0,
+                           local_pen=2.0, use_slip: bool = False,
+                           prec_name: str | None = None):
+    from scrappie_tpu.models.forward import _ff2_tanh_padded
+    from scrappie_tpu.nn.layers import window
+    from scrappie_tpu.ops.lstm import lstm_layer_fused_tm, pad_lstm_params
+
+    B = feats.shape[0]
+    pad = (-B) % 8
+    if pad:
+        feats = jnp.pad(feats, ((0, pad), (0, 0), (0, 0)))
+
+    x = jnp.moveaxis(window(feats, winlen, 1), 0, 1)  # [T, B, winlen*4]
+    C = x.shape[-1]
+    Cp = _round_up(C, LANE)
+    if Cp != C:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Cp - C)))
+    for layer in (1, 2):
+        hs = {}
+        for d, rev in (("F", False), ("B", True)):
+            pre = f"lstm{d}{layer}"
+            iWp, bp, sWp, peepp = pad_lstm_params(
+                params[f"{pre}_iW"], params[f"{pre}_b"], params[f"{pre}_sW"],
+                params[f"{pre}_p"], in_pad=x.shape[-1])
+            hs[d] = lstm_layer_fused_tm(x, iWp, bp, sWp, peepp, reverse=rev,
+                                        prec_name=prec_name)
+        x = _ff2_tanh_padded(hs["F"], hs["B"], params[f"FF{layer}_Wf"],
+                             params[f"FF{layer}_Wb"], params[f"FF{layer}_b"])
+
+    cts = (8, 4, 2, 1) if prec_name == "default" else (4, 2, 1)
+    ct = next(c for c in cts if x.shape[0] % c == 0)
+    final, tb = viterbi_fused_tm(
+        x, params["FF3_W"], params["FF3_b"], min_prob=min_prob, tempW=tempW,
+        tempb=tempb, stay_pen=stay_pen, skip_pen=skip_pen,
+        local_pen=local_pen, use_slip=use_slip, ct=ct, prec_name=prec_name)
+    score, path = viterbi_backtrace_tm(final, tb)
+    return score[:B], path[:B]
+
+
 def rnnrf_basecall_fused(params, sig, **kwargs):
     """rnnrf_r94 fast path: sig [B, T, 1] -> (logscore [B], path [B,
     nblock+1] int32 CRF states).

@@ -62,13 +62,16 @@ def plan_chunks(nsample: int, chunk_len: int, overlap: int, stride: int) -> Chun
 
 
 def extract_chunks(signal: np.ndarray, plan: ChunkPlan) -> np.ndarray:
-    """[nchunk, chunk_len] chunk matrix, reflect-padded at the read tail.
+    """[nchunk, chunk_len, ...] chunk matrix, reflect-padded at the tail.
 
     Reflecting the signal (rather than zero padding) keeps the
     backward-RNN context that flows from the pad into the valid region
     statistically plausible; pad blocks are dropped by the stitch.
+    `signal` may be 1-D samples or an [n, C] feature matrix (the events
+    pipeline chunks per-event feature rows; reflection is along axis 0).
     """
-    out = np.zeros((plan.nchunk, plan.chunk_len), dtype=np.float32)
+    out = np.zeros((plan.nchunk, plan.chunk_len) + signal.shape[1:],
+                   dtype=np.float32)
     for i, s in enumerate(plan.starts):
         seg = signal[s : s + plan.chunk_len]
         out[i, : len(seg)] = seg
@@ -76,7 +79,7 @@ def extract_chunks(signal: np.ndarray, plan: ChunkPlan) -> np.ndarray:
         if npad and len(seg) > 0:
             refl = seg[::-1]
             reps = -(-npad // len(refl))
-            out[i, len(seg) :] = np.tile(refl, reps)[:npad]
+            out[i, len(seg) :] = np.tile(refl, (reps,) + (1,) * (signal.ndim - 1))[:npad]
     return out
 
 

@@ -25,7 +25,7 @@ import numpy as np
 from scrappie_tpu.decode.crf import decode_crf
 from scrappie_tpu.decode.transducer import viterbi_decode_batch
 from scrappie_tpu.models import forward, registry
-from scrappie_tpu.models.specs import RAW_MODELS
+from scrappie_tpu.models.specs import EVENTS_MODEL, RAW_MODELS
 from scrappie_tpu.parallel import chunk as chunklib
 from scrappie_tpu.parallel.sharding import batch_sharding, make_mesh, shard_params
 from scrappie_tpu.post.homopolymer import HomopolymerMode, homopolymer_path
@@ -47,6 +47,7 @@ class ReadResult:
     trim_end: int
     nsample: int
     qual: str | None = None  # Phred+33, only with with_qualities=True
+    events: object | None = None  # annotated EventTable (events model only)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -106,8 +107,8 @@ class BasecallEngine:
     mesh's data axis).
     """
 
-    def __init__(self, model: str = "rgrgr_r94", chunk_len: int = 10000,
-                 overlap: int = 1000, batch_size: int = 8, mesh=None,
+    def __init__(self, model: str = "rgrgr_r94", chunk_len: int | None = None,
+                 overlap: int | None = None, batch_size: int = 8, mesh=None,
                  min_prob: float = 1e-5, tempW: float = 1.0, tempb: float = 1.0,
                  decode_bucket: int = 1024, mode: str = "stitch",
                  pipeline_depth: int = 2):
@@ -119,8 +120,10 @@ class BasecallEngine:
             host) and stitch the Viterbi paths at overlap midpoints,
             bonito-style.  Junction blocks may differ from 'stitch';
             scores are per-chunk sums weighted by kept blocks.  All
-            model kinds (rgrgr/raw/rnnrf, round 3); homopolymer
-            correction unavailable (it needs the whole-read posterior).
+            model kinds (rgrgr/raw/rnnrf round 3, events round 4);
+            posterior-mean homopolymer correction unavailable (it needs
+            the whole-read posterior; the events pipeline's dwell
+            correction works in both modes — it only needs the path).
 
         pipeline_depth: device batches kept in flight before the host
           blocks on results (JAX dispatch is async, so depth 2 =
@@ -128,7 +131,23 @@ class BasecallEngine:
           while the device crunches group k).  1 = fully synchronous.
         """
         self.model = model
-        self.spec = RAW_MODELS[model]
+        if model == EVENTS_MODEL.name:
+            # Events pipeline: blocks are detected events, chunk
+            # coordinates are EVENT counts (the reference's events
+            # driver, src/scrappie_events.c:271-344, processes whole
+            # reads; the chunk geometry here is the overlap-and-stitch
+            # analogue at ~1 event / 5-10 samples).
+            self.spec = EVENTS_MODEL
+            if chunk_len is None:
+                chunk_len = 2048
+            if overlap is None:
+                overlap = 256
+        else:
+            self.spec = RAW_MODELS[model]
+            if chunk_len is None:
+                chunk_len = 10000
+            if overlap is None:
+                overlap = 1000
         if mode not in ("stitch", "fast"):
             raise ValueError(f"unknown mode {mode!r}")
         self.mode = mode
@@ -156,6 +175,10 @@ class BasecallEngine:
             fn = functools.partial(forward.rnnrf_transitions,
                                    conv_activation=spec.conv_activation,
                                    stride=spec.stride)
+        elif spec.kind == "events":
+            fn = functools.partial(forward.events_posterior,
+                                   winlen=spec.winlen, min_prob=min_prob,
+                                   tempW=tempW, tempb=tempb, return_log=True)
         else:
             fn = functools.partial(forward.raw_posterior, **kwargs)
         self._posterior = jax.jit(lambda p, x: fn(p, x))
@@ -166,16 +189,22 @@ class BasecallEngine:
     # ------------------------------------------------------------- pipeline
 
     def _device_batches(self, all_chunks: np.ndarray):
-        """Yield zero-padded, batch-sharded [B, chunk_len, 1] device arrays."""
+        """Yield zero-padded, batch-sharded [B, chunk_len, C] device arrays.
+
+        Raw chunks arrive [N, chunk_len] and gain a feature axis; events
+        chunks arrive [N, chunk_len, 4] already feature-shaped."""
         N = all_chunks.shape[0]
         B = self.batch_size
         for i in range(0, N, B):
             batch = all_chunks[i : i + B]
             if len(batch) < B:
                 batch = np.concatenate(
-                    [batch, np.zeros((B - len(batch), self.chunk_len), np.float32)]
+                    [batch, np.zeros((B - len(batch),) + batch.shape[1:],
+                                     np.float32)]
                 )
-            yield jax.device_put(batch[..., None], self._batch_sharding)
+            if batch.ndim == 2:
+                batch = batch[..., None]
+            yield jax.device_put(batch, self._batch_sharding)
 
     def _posterior_chunks(self, all_chunks: np.ndarray) -> np.ndarray:
         """Run [N, chunk_len] chunks through the net in batch_size groups."""
@@ -214,6 +243,12 @@ class BasecallEngine:
         elif kind == "raw":
             call = ft.partial(
                 plops.raw_basecall_fused, stride=self.spec.stride,
+                min_prob=self._min_prob, tempW=self._tempW,
+                tempb=self._tempb, stay_pen=stay_pen, skip_pen=skip_pen,
+                local_pen=local_pen, use_slip=use_slip)
+        elif kind == "events":
+            call = ft.partial(
+                plops.events_basecall_fused, winlen=self.spec.winlen,
                 min_prob=self._min_prob, tempW=self._tempW,
                 tempb=self._tempb, stay_pen=stay_pen, skip_pen=skip_pen,
                 local_pen=local_pen, use_slip=use_slip)
@@ -401,6 +436,44 @@ class BasecallEngine:
                 results[g] = (float(scores[j]), paths[j, : nb + 1].copy())
         return results
 
+    def _assemble_events(self, rt, et, path, score, dwell_correction,
+                         lp=None, with_qualities: bool = False) -> ReadResult:
+        """Events-read assembly: emit the first nev path entries
+        (api.basecall_events / ref src/scrappie_events.c:301), annotate
+        the event table with decoded state/pos (ref :307-311), optional
+        dwell homopolymer correction (ref src/decode.c:645-702)."""
+        from scrappie_tpu.post.homopolymer import homopolymer_dwell_correction
+
+        nev = len(et.active)
+        path = np.asarray(path)
+        emit = path[:nev].copy()
+        pos = np.zeros(nev + 1, dtype=np.int64)
+        seq = overlapper(emit, self.spec.nstate - 1, pos)
+        ev = et.event
+        ev["state"][et.start : et.start + nev] = 1 + emit
+        ev["pos"][et.start : et.start + nev] = pos[:nev]
+        qual = None
+        if with_qualities and seq and lp is not None:
+            from scrappie_tpu.post.quality import transducer_qualities
+
+            qual = transducer_qualities(lp, emit)
+        if dwell_correction and seq is not None:
+            active = et.active[:nev]
+            new = homopolymer_dwell_correction(
+                active["length"], active["start"], emit, active["pos"],
+                active["state"], self.spec.nstate, len(seq))
+            if new is not None:
+                if qual is not None and len(new) != len(seq):
+                    from scrappie_tpu.utils.tracing import log
+
+                    log("warn", "dwell correction changed the basecall "
+                                "length; dropping per-base qualities",
+                        uuid=rt.uuid, was=len(seq), now=len(new))
+                    qual = None
+                seq = new
+        return ReadResult(rt.uuid, seq, score, nev, pos, rt.start, rt.end,
+                          rt.n, qual, et)
+
     def basecall_signals(self, signals: list[RawSignal], *, skip_pen=0.0,
                          **kwargs) -> list[ReadResult]:
         """Basecall a batch of raw signals; see _basecall_signals_impl.
@@ -440,6 +513,7 @@ class BasecallEngine:
                          use_slip=False,
                          homopolymer: HomopolymerMode | str | None = None,
                          crf_emit_bias: float = 0.0,
+                         dwell_correction: bool = True,
                          with_qualities: bool = False) -> list[ReadResult]:
         # 1. host-side preprocess + chunk planning.  Per-read error
         # isolation: a failed read (bad data, injected chaos fault)
@@ -450,6 +524,7 @@ class BasecallEngine:
         plans = []
         all_chunks = []
         nchunk_total = 0  # cumulative CHUNK count (reads differ in chunks)
+        events_kind = self.spec.kind == "events"
         for rs in signals:
             try:
                 rt = trim_and_segment_raw(rs, trim_start, trim_end,
@@ -457,15 +532,36 @@ class BasecallEngine:
                 if rt is None:
                     prepped.append(None)
                     continue
-                norm = medmad_normalise(rt.trimmed)
                 # Opt-in debug validation (SCRAPPIE_TPU_VALIDATE=1):
                 # a non-finite read is caught here and skipped instead
                 # of poisoning the whole device batch (analogue of
                 # ref validate_scrappie_matrix, src/scrappie_matrix.c:138-220)
                 from scrappie_tpu.utils.validate import checked
 
-                checked(norm, f"read.norm[{rs.uuid}]")
-                plan = chunklib.plan_chunks(len(norm), self.chunk_len,
+                if events_kind:
+                    # Events pipeline: detect events on the trimmed
+                    # signal, studentise features with WHOLE-READ
+                    # statistics (exactly api.basecall_events / ref
+                    # src/scrappie_events.c:271-299), then chunk the
+                    # feature rows; one block per event.
+                    from scrappie_tpu.signal.events import detect_events
+                    from scrappie_tpu.signal.features import (
+                        nanonet_features_from_events,
+                    )
+
+                    et = detect_events(rt)
+                    aux = nanonet_features_from_events(et, normalise=True)
+                    if not len(aux):
+                        prepped.append(None)
+                        continue
+                    checked(aux, f"read.features[{rs.uuid}]")
+                    aux = (et, np.asarray(aux, np.float32))
+                    n_items = len(aux[1])
+                else:
+                    aux = medmad_normalise(rt.trimmed)
+                    checked(aux, f"read.norm[{rs.uuid}]")
+                    n_items = len(aux)
+                plan = chunklib.plan_chunks(n_items, self.chunk_len,
                                             self.overlap, self.spec.stride)
             except Exception as e:
                 from scrappie_tpu.utils.tracing import log
@@ -474,10 +570,11 @@ class BasecallEngine:
                     error=str(e))
                 prepped.append(None)
                 continue
-            prepped.append((rt, norm, plan, nchunk_total))
+            prepped.append((rt, aux, plan, nchunk_total))
             nchunk_total += plan.nchunk
             plans.append(plan)
-            all_chunks.append(chunklib.extract_chunks(norm, plan))
+            all_chunks.append(chunklib.extract_chunks(
+                aux[1] if events_kind else aux, plan))
 
         if not all_chunks:
             return [
@@ -509,13 +606,20 @@ class BasecallEngine:
                     results.append(ReadResult(rs.uuid, None, float("nan"), 0,
                                               None, 0, 0, rs.n))
                     continue
-                rt, norm, plan, off = entry
+                rt, aux, plan, off = entry
                 path = chunklib.stitch_paths(paths[off : off + plan.nchunk], plan)
                 keep = chunklib.chunk_keep_ranges(plan)
                 score = float(sum(
                     scores[off + i] * (hi - lo) / plan.nblock_chunk
                     for i, (lo, hi) in enumerate(keep)))
                 nblock = plan.nblock_total
+                if events_kind:
+                    # path[1:] are the per-event emissions; prepend the
+                    # initial state so _assemble_events sees the same
+                    # (nev+1)-entry layout as the exact decode
+                    results.append(self._assemble_events(
+                        rt, aux[0], path, score, dwell_correction))
+                    continue
                 pos = np.zeros(nblock + 1, dtype=np.int64)
                 if self.spec.kind == "rnnrf":
                     seq = crfpath_to_basecall(path, pos)
@@ -530,7 +634,15 @@ class BasecallEngine:
         # path for both transducer and CRF models.  Falls through to
         # the host path for posterior-mean homopolymer correction and
         # per-base qualities (both need the whole-read posterior).
-        hp_none = (self.spec.kind == "rnnrf"  # hp never applies to CRF
+        if events_kind and homopolymer not in (None, "nochange",
+                                               HomopolymerMode.NOCHANGE):
+            from scrappie_tpu.utils.tracing import log
+
+            log("warn", "posterior homopolymer correction does not apply "
+                        "to the events pipeline (ref uses dwell "
+                        "correction); ignoring")
+            homopolymer = None
+        hp_none = (self.spec.kind in ("rnnrf", "events")
                    or homopolymer in (None, "nochange", HomopolymerMode.NOCHANGE))
         if hp_none and not with_qualities:
             decoded_map = self._stitch_decode_device(
@@ -542,9 +654,13 @@ class BasecallEngine:
                     results.append(ReadResult(rs.uuid, None, float("nan"), 0,
                                               None, 0, 0, rs.n))
                     continue
-                rt, norm, plan, _ = entry
+                rt, aux, plan, _ = entry
                 score, path = decoded_map[i]
                 nblock = plan.nblock_total
+                if events_kind:
+                    results.append(self._assemble_events(
+                        rt, aux[0], path, score, dwell_correction))
+                    continue
                 pos = np.zeros(nblock + 1, dtype=np.int64)
                 if self.spec.kind == "rnnrf":
                     # paths in decoded_map are already trimmed to
@@ -567,10 +683,10 @@ class BasecallEngine:
         for entry, rs in zip(prepped, signals):
             if entry is None:
                 continue
-            rt, norm, plan, chunk_off = entry
+            rt, aux, plan, chunk_off = entry
             lp = chunklib.stitch_blocks(post[chunk_off : chunk_off + plan.nchunk], plan)
             logposts.append(lp)
-            metas.append((rs, rt, plan))
+            metas.append((rs, rt, plan, aux))
 
         # 4. decode (bucketed batches)
         results_map: dict[int, ReadResult] = {}
@@ -588,8 +704,13 @@ class BasecallEngine:
             if entry is None:
                 results.append(ReadResult(rs.uuid, None, float("nan"), 0, None, 0, 0, rs.n))
                 continue
-            lp, (rs2, rt, plan), (score, path) = next(out_iter)
+            lp, (rs2, rt, plan, aux), (score, path) = next(out_iter)
             nblock = lp.shape[0]
+            if events_kind:
+                results.append(self._assemble_events(
+                    rt, aux[0], path[: nblock + 1], score, dwell_correction,
+                    lp=lp, with_qualities=with_qualities))
+                continue
             pos = np.zeros(nblock + 1, dtype=np.int64)
             qual = None
             if self.spec.kind == "rnnrf":

@@ -357,13 +357,19 @@ class _Server(socketserver.ThreadingTCPServer):
         (each model = its own engine + worker; weights are ~1 MB)."""
         if model is None or model == self._default_model:
             return self.service
-        from scrappie_tpu.models.specs import RAW_MODELS
+        from scrappie_tpu.models.specs import EVENTS_MODEL, RAW_MODELS
 
-        if model not in RAW_MODELS:
+        if model not in RAW_MODELS and model != EVENTS_MODEL.name:
             raise KeyError(f"unknown model {model!r}")
         with self._ss_lock:
             if model not in self._model_services:
                 kwargs = dict(self._service_kwargs, model=model)
+                if model == EVENTS_MODEL.name:
+                    # chunk geometry is in EVENTS for the events engine;
+                    # the server's sample-based --chunk-len/--overlap
+                    # don't apply — use the engine's event defaults
+                    kwargs.pop("chunk_len", None)
+                    kwargs.pop("overlap", None)
                 self._model_services[model] = BasecallService(**kwargs)
             return self._model_services[model]
 

@@ -340,3 +340,80 @@ def test_engine_pipeline_depth_equivalence(reads_dir):
             res = eng.basecall_signals(reads, local_pen=20.0)
             outs.append([(r.sequence, round(r.score, 4)) for r in res])
         assert outs[0] == outs[1], mode
+
+
+def _sim_event_signals(n=3, seed=5):
+    from scrappie_tpu.train.simulate import SquiggleSimulator
+
+    sim = SquiggleSimulator(seed=seed)
+    return [np.asarray(sim.simulate_read(600 + 100 * i)[0], np.float32)
+            for i in range(n)]
+
+
+def test_engine_events_stitch_matches_api():
+    """Events engine (chunked feature rows, batched device decode) is
+    byte-identical to the serial api.basecall_events whole-read path
+    (round 4; ref src/scrappie_events.c:271-344): event detection and
+    whole-read feature studentisation happen before chunking, and the
+    device-stitched posterior equals the whole-read posterior away from
+    chunk edges (biLSTM context converges within the 128-event
+    overlap)."""
+    from scrappie_tpu.api import basecall_events
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.types import RawSignal
+
+    sigs = _sim_event_signals()
+    ref = [basecall_events(s, trim_start=0, trim_end=0) for s in sigs]
+    eng = BasecallEngine("nanonet_events", chunk_len=512, overlap=128,
+                         batch_size=4)
+    res = eng.basecall_signals([RawSignal(s) for s in sigs],
+                               trim_start=0, trim_end=0)
+    for (seq_a, score_a, et_a, *_), r in zip(ref, res):
+        assert r.sequence == seq_a
+        assert abs(r.score - score_a) <= 1e-3 * abs(score_a) + 1e-3
+        assert r.nblock == len(et_a.active)
+        # annotations written back into the event table (ref :307-311)
+        ev = r.events.active
+        assert (ev["state"][: r.nblock] >= 0).all()
+        np.testing.assert_array_equal(ev["state"], et_a.active["state"])
+        np.testing.assert_array_equal(ev["pos"], et_a.active["pos"])
+
+
+def test_engine_events_fast_matches_stitch():
+    """Events fast mode (fused biLSTM+head+Viterbi per chunk, path
+    stitch) vs exact stitch: junction/pad blocks may differ, interiors
+    are identical — same contract as the raw fast modes."""
+    import Levenshtein
+
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.types import RawSignal
+
+    sigs = _sim_event_signals()
+    kw = dict(trim_start=0, trim_end=0)
+    seqs = {}
+    for mode in ("stitch", "fast"):
+        eng = BasecallEngine("nanonet_events", chunk_len=512, overlap=128,
+                             batch_size=4, mode=mode)
+        seqs[mode] = [r.sequence for r in eng.basecall_signals(
+            [RawSignal(s) for s in sigs], **kw)]
+    for a, b in zip(seqs["stitch"], seqs["fast"]):
+        assert a and b
+        assert Levenshtein.distance(a, b) <= max(3, 0.02 * len(a))
+
+
+def test_engine_events_qualities_and_dwell():
+    """with_qualities=True (dwell off) emits a Phred string per base;
+    dwell correction (the default) may change run lengths but never
+    silently: a changed basecall drops the (now misaligned) qualities."""
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.types import RawSignal
+
+    sig = _sim_event_signals(1)[0]
+    eng = BasecallEngine("nanonet_events", chunk_len=512, overlap=128,
+                         batch_size=2)
+    r = eng.basecall_signals([RawSignal(sig)], trim_start=0, trim_end=0,
+                             dwell_correction=False, with_qualities=True)[0]
+    assert r.qual is not None and len(r.qual) == len(r.sequence)
+    # dwell on (default): sequence may differ from the uncorrected call
+    r2 = eng.basecall_signals([RawSignal(sig)], trim_start=0, trim_end=0)[0]
+    assert r2.sequence

@@ -424,3 +424,28 @@ def test_gru_kernel_shape_fuzz():
             np.moveaxis(np.asarray(h[..., :S]), 0, 1), np.asarray(href),
             rtol=2e-5, atol=2e-5, err_msg=str((trial, B, T, C, S, reverse)))
         assert np.all(np.asarray(h[..., S:]) == 0.0)
+
+
+@pytest.mark.parametrize("pens", [dict(),
+                                  dict(stay_pen=0.4, skip_pen=0.7,
+                                       local_pen=3.0)])
+def test_events_fused_pipeline_matches_two_stage(pens):
+    """nanonet events fast path == posterior + decode (round 4): the
+    biLSTM fused kernels + fused head/Viterbi reproduce
+    events_posterior -> viterbi exactly (same guarantee as raw/rgrgr)."""
+    from scrappie_tpu.models import forward, registry
+    from scrappie_tpu.ops.pipeline import events_basecall_fused
+
+    params = {k: jnp.asarray(v)
+              for k, v in registry.load_params("nanonet_events").items()}
+    rng = np.random.default_rng(23)
+    feats = jnp.asarray(rng.standard_normal((2, 50, 4)).astype(np.float32))
+    lp = forward.events_posterior(params, feats)
+    final, tb = viterbi_transducer_scores(
+        lp, pens.get("stay_pen", 0.0), pens.get("skip_pen", 0.0),
+        pens.get("local_pen", 2.0), False)
+    score_ref, path_ref = viterbi_local_backtrace(final, tb)
+    score, path = events_basecall_fused(params, feats, **pens)
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(path_ref))
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score_ref),
+                               rtol=1e-5, atol=1e-4)
