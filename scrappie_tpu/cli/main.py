@@ -67,7 +67,8 @@ def _add_basecall_common(p):
                    default="fasta", type=str.lower,
                    help="Format to output reads (FASTA or SAM as in the "
                         "reference; FASTQ adds per-base Phred qualities "
-                        "from the block posteriors — raw models only)")
+                        "from the block posteriors — all models; events "
+                        "needs --no-dwell)")
     p.add_argument("--limit", "-l", type=int, default=0,
                    help="Maximum number of reads to call (0 is unlimited)")
     p.add_argument("--min_prob", "-m", type=float, default=1e-5,
@@ -129,8 +130,11 @@ def build_parser():
                           "basecall them as they appear (live run directory); "
                           "with --limit N, exit after N reads")
     raw.add_argument("--fast", action="store_true", default=False,
-                     help="Fused per-chunk decode + path stitching (TPU; "
-                          "skips homopolymer correction)")
+                     help="Fused per-chunk decode + path stitching (TPU). "
+                          "FASTQ qualities come from the fused device "
+                          "quality stream; posterior-mean homopolymer "
+                          "correction (+0.0003 identity, BASELINE.md) is "
+                          "stitch-mode only")
     raw.add_argument("--profile", default=None, metavar="DIR",
                      help="Capture a JAX profiler (XPlane) trace to DIR")
     raw.add_argument("--stage-report", action="store_true", default=False,
@@ -235,9 +239,10 @@ def main_raw(args) -> int:
     from scrappie_tpu.io.fasta import format_fasta, format_fastq, format_sam
     from scrappie_tpu.parallel.runner import BasecallEngine
 
-    if args.format == "fastq" and args.fast:
-        print("--format fastq needs whole-read posteriors; "
-              "incompatible with --fast", file=sys.stderr)
+    if args.format == "fastq" and args.fast and args.model == "rnnrf_r94":
+        print("--format fastq for the CRF model needs whole-read "
+              "forward-backward posteriors; incompatible with --fast",
+              file=sys.stderr)
         return 1
 
     import contextlib
@@ -360,10 +365,6 @@ def main_events(args) -> int:
     from scrappie_tpu.utils.tracing import profile
 
     if args.format == "fastq":
-        if args.fast:
-            print("--format fastq needs whole-read posteriors; "
-                  "incompatible with --fast", file=sys.stderr)
-            return 1
         if args.dwell_correction:
             print("--format fastq for events requires --no-dwell: dwell "
                   "correction rewrites homopolymer run lengths after the "

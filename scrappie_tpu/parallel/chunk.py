@@ -132,7 +132,10 @@ def stitch_paths(chunk_paths: np.ndarray, plan: ChunkPlan) -> np.ndarray:
     """
     total = plan.nblock_total
     starts_blk = plan.starts // plan.stride
-    out = np.full((total + 1,), -1, dtype=chunk_paths.dtype)
+    # Also stitches per-entry side streams (e.g. the fused quality
+    # stream [nchunk, nblock_chunk+1, klen]) with the same geometry.
+    out = np.full((total + 1,) + chunk_paths.shape[2:], -1,
+                  dtype=chunk_paths.dtype)
     out[0] = chunk_paths[0, 0]
     for i, (lo, hi) in enumerate(chunk_keep_ranges(plan)):
         if hi <= lo:

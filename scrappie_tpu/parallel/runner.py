@@ -223,10 +223,14 @@ class BasecallEngine:
         return np.concatenate(outs, axis=0)[: all_chunks.shape[0]]
 
     def _decode_chunks_fused(self, all_chunks: np.ndarray, stay_pen, skip_pen,
-                             local_pen, use_slip, crf_emit_bias=0.0):
+                             local_pen, use_slip, crf_emit_bias=0.0,
+                             with_qual: bool = False):
         """Fused per-chunk decode: [N, chunk_len] -> (scores [N],
-        paths [N, nblock_chunk+1]) without materialising posteriors.
-        Dispatches to the model kind's fused pipeline (ops/pipeline.py)."""
+        paths [N, nblock_chunk+1], quals) without materialising
+        posteriors on the host.  Dispatches to the model kind's fused
+        pipeline (ops/pipeline.py).  quals is a uint8 Phred stream
+        [N, nblock_chunk+1, klen] when with_qual (transducer kinds
+        only), else None."""
         import collections
         import functools as ft
 
@@ -239,32 +243,37 @@ class BasecallEngine:
                 conv_activation=self.spec.conv_activation,
                 stride=self.spec.stride, min_prob=self._min_prob,
                 tempW=self._tempW, tempb=self._tempb, stay_pen=stay_pen,
-                skip_pen=skip_pen, local_pen=local_pen, use_slip=use_slip)
+                skip_pen=skip_pen, local_pen=local_pen, use_slip=use_slip,
+                with_qual=with_qual)
         elif kind == "raw":
             call = ft.partial(
                 plops.raw_basecall_fused, stride=self.spec.stride,
                 min_prob=self._min_prob, tempW=self._tempW,
                 tempb=self._tempb, stay_pen=stay_pen, skip_pen=skip_pen,
-                local_pen=local_pen, use_slip=use_slip)
+                local_pen=local_pen, use_slip=use_slip,
+                with_qual=with_qual)
         elif kind == "events":
             call = ft.partial(
                 plops.events_basecall_fused, winlen=self.spec.winlen,
                 min_prob=self._min_prob, tempW=self._tempW,
                 tempb=self._tempb, stay_pen=stay_pen, skip_pen=skip_pen,
-                local_pen=local_pen, use_slip=use_slip)
+                local_pen=local_pen, use_slip=use_slip,
+                with_qual=with_qual)
         else:  # rnnrf
             call = ft.partial(
                 plops.rnnrf_basecall_fused,
                 conv_activation=self.spec.conv_activation,
                 stride=self.spec.stride, emit_bias=float(crf_emit_bias))
 
-        scores, paths = [], []
+        scores, paths, quals = [], [], []
         pend: collections.deque = collections.deque()
 
         def _collect():
-            s, p = pend.popleft()
-            scores.append(np.asarray(s))
-            paths.append(np.asarray(p))
+            out = pend.popleft()
+            scores.append(np.asarray(out[0]))
+            paths.append(np.asarray(out[1]))
+            if len(out) > 2:
+                quals.append(np.asarray(out[2]))
 
         for x in self._device_batches(all_chunks):
             pend.append(call(self.params, x))
@@ -273,7 +282,8 @@ class BasecallEngine:
         while pend:
             _collect()
         N = all_chunks.shape[0]
-        return (np.concatenate(scores)[:N], np.concatenate(paths)[:N])
+        return (np.concatenate(scores)[:N], np.concatenate(paths)[:N],
+                np.concatenate(quals)[:N] if quals else None)
 
     def _posterior_chunks_device(self, all_chunks: np.ndarray):
         """Like _posterior_chunks but the result STAYS on device and
@@ -437,11 +447,14 @@ class BasecallEngine:
         return results
 
     def _assemble_events(self, rt, et, path, score, dwell_correction,
-                         lp=None, with_qualities: bool = False) -> ReadResult:
+                         lp=None, qual_stream=None,
+                         with_qualities: bool = False) -> ReadResult:
         """Events-read assembly: emit the first nev path entries
         (api.basecall_events / ref src/scrappie_events.c:301), annotate
         the event table with decoded state/pos (ref :307-311), optional
-        dwell homopolymer correction (ref src/decode.c:645-702)."""
+        dwell homopolymer correction (ref src/decode.c:645-702).
+        Qualities come from the whole-read posterior (lp, stitch mode)
+        or the fused device quality stream (qual_stream, fast mode)."""
         from scrappie_tpu.post.homopolymer import homopolymer_dwell_correction
 
         nev = len(et.active)
@@ -457,6 +470,10 @@ class BasecallEngine:
             from scrappie_tpu.post.quality import transducer_qualities
 
             qual = transducer_qualities(lp, emit)
+        elif with_qualities and seq and qual_stream is not None:
+            from scrappie_tpu.post.quality import qualities_from_stream
+
+            qual = qualities_from_stream(np.asarray(qual_stream)[:nev], emit)
         if dwell_correction and seq is not None:
             active = et.active[:nev]
             new = homopolymer_dwell_correction(
@@ -588,18 +605,22 @@ class BasecallEngine:
             if homopolymer not in (None, "nochange", HomopolymerMode.NOCHANGE):
                 from scrappie_tpu.utils.tracing import log
 
-                log("warn", "fast mode cannot apply homopolymer correction "
-                            "(needs whole-read posteriors); skipping")
-            if with_qualities:
+                log("warn", "fast mode cannot apply posterior-mean "
+                            "homopolymer correction (needs whole-read "
+                            "posteriors; measured at +0.0003 identity — "
+                            "BASELINE.md); use stitch mode for it")
+            fused_qual = with_qualities and self.spec.kind != "rnnrf"
+            if with_qualities and not fused_qual:
                 from scrappie_tpu.utils.tracing import log
 
-                log("warn", "fast mode cannot compute per-base qualities "
-                            "(posterior never reaches the host); skipping")
+                log("warn", "fast mode cannot compute CRF per-base "
+                            "qualities (forward-backward needs the "
+                            "whole-read transitions); skipping")
             with self.stage("decode_fused"):
                 flat = np.concatenate(all_chunks, axis=0)
-                scores, paths = self._decode_chunks_fused(
+                scores, paths, quals = self._decode_chunks_fused(
                     flat, stay_pen, skip_pen, local_pen, use_slip,
-                    crf_emit_bias)
+                    crf_emit_bias, with_qual=fused_qual)
             results = []
             for entry, rs in zip(prepped, signals):
                 if entry is None:
@@ -608,6 +629,10 @@ class BasecallEngine:
                     continue
                 rt, aux, plan, off = entry
                 path = chunklib.stitch_paths(paths[off : off + plan.nchunk], plan)
+                qstream = None
+                if quals is not None:
+                    qstream = chunklib.stitch_paths(
+                        quals[off : off + plan.nchunk], plan)
                 keep = chunklib.chunk_keep_ranges(plan)
                 score = float(sum(
                     scores[off + i] * (hi - lo) / plan.nblock_chunk
@@ -618,15 +643,24 @@ class BasecallEngine:
                     # initial state so _assemble_events sees the same
                     # (nev+1)-entry layout as the exact decode
                     results.append(self._assemble_events(
-                        rt, aux[0], path, score, dwell_correction))
+                        rt, aux[0], path, score, dwell_correction,
+                        qual_stream=qstream,
+                        with_qualities=with_qualities))
                     continue
                 pos = np.zeros(nblock + 1, dtype=np.int64)
+                qual = None
                 if self.spec.kind == "rnnrf":
                     seq = crfpath_to_basecall(path, pos)
                 else:
                     seq = overlapper(path, self.spec.nstate - 1, pos)
+                    if qstream is not None and seq:
+                        from scrappie_tpu.post.quality import (
+                            qualities_from_stream,
+                        )
+
+                        qual = qualities_from_stream(qstream, path)
                 results.append(ReadResult(rt.uuid, seq, score, nblock, pos,
-                                          rt.start, rt.end, rt.n))
+                                          rt.start, rt.end, rt.n, qual))
             return results
 
         # Exact stitch without the posterior ever reaching the host

@@ -82,6 +82,32 @@ def transducer_qualities(logpost: np.ndarray, path: np.ndarray) -> str | None:
     return phred_string(marg[which, kpos, digits])
 
 
+def qualities_from_stream(qstream: np.ndarray, path: np.ndarray) -> str | None:
+    """Assemble the Phred string from a fused-pipeline quality stream.
+
+    qstream uint8 [nentry, klen]: per path entry, the Phred+33 code of
+    the decoded kmer's base at each kmer position (computed on device
+    by ops/pipeline._fused_quality_stream — fast mode's replacement for
+    host transducer_qualities, which needs the whole-read posterior).
+    path [nentry] with -1 = stay.  Emission layout mirrors
+    post/overlapper: the first non-stay entry emits its kmer whole,
+    each later one its `o` overlap bases (the kmer's last o positions).
+    """
+    path = np.asarray(path)
+    nonstay = path >= 0
+    if not nonstay.any():
+        return None
+    idx = np.flatnonzero(nonstay)
+    kmers = path[idx].astype(np.int64)
+    klen = qstream.shape[1]
+    counts = np.concatenate([[klen], overlap_lengths(kmers, klen)])
+    which = np.repeat(np.arange(len(idx)), counts)
+    starts = np.cumsum(counts) - counts
+    within = np.arange(counts.sum()) - starts[which]
+    kpos = klen - counts[which] + within
+    return qstream[idx[which], kpos].tobytes().decode("ascii")
+
+
 def crf_qualities(posterior: np.ndarray, path: np.ndarray,
                   npos: int | None = None) -> str | None:
     """Qualities matching crfpath_to_basecall(path, npos=npos).
