@@ -410,17 +410,29 @@ class EventsStreamingBatcher:
     """
 
     def __init__(self, chunk_len: int = 10000, overlap: int = 2000,
-                 batch_size: int = 8, *, min_prob: float = 1e-5,
+                 batch_size: int = 8, *, mesh=None, min_prob: float = 1e-5,
                  tempW: float = 1.0, tempb: float = 1.0,
                  stay_pen: float = 0.0, skip_pen: float = 0.0,
                  local_pen: float = 2.0, use_slip: bool = False,
                  **stream_kwargs):
+        from scrappie_tpu.parallel.sharding import (
+            batch_sharding,
+            make_mesh,
+            shard_params,
+        )
+
         self.chunk_len, self.overlap = chunk_len, overlap
-        self.batch_size = batch_size
         self._decode_args = (float(stay_pen), float(skip_pen),
                              float(local_pen), bool(use_slip))
         self._params, self._net_decode = _build_events_program(
             min_prob, tempW, tempb, *self._decode_args)
+        # Data-parallel over the mesh like the raw StreamingBatcher:
+        # ready chunks from all channels shard over 'data'
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.batch_size = -(-batch_size // self.mesh.shape["data"]) \
+            * self.mesh.shape["data"]
+        self._params = shard_params(self._params, self.mesh)
+        self._batch_sharding = batch_sharding(self.mesh)
         self._stream_kwargs = dict(stream_kwargs, min_prob=min_prob,
                                    tempW=tempW, tempb=tempb,
                                    stay_pen=stay_pen, skip_pen=skip_pen,
@@ -460,7 +472,11 @@ class EventsStreamingBatcher:
                                   np.float32)])
         nev_arr = np.zeros(self.batch_size, np.int32)
         nev_arr[:n] = nevs
-        scores, paths = self._net_decode(self._params, jnp.asarray(sfeats),
+        import jax
+
+        feats_dev = jax.device_put(np.ascontiguousarray(sfeats),
+                                   self._batch_sharding)
+        scores, paths = self._net_decode(self._params, feats_dev,
                                          jnp.asarray(nev_arr))
         scores = np.asarray(scores)
         paths = np.asarray(paths)

@@ -38,6 +38,48 @@ apply_platform_override()
 
 MODEL = "rnnrf_r94"
 
+PSEUDO_F5 = "/root/reference/reads/read_ch228_file118.fast5"
+
+
+def pseudo_region_ch228(spec, chunk: int):
+    """Self-training region from the third bundled read (no truth FASTA).
+
+    Pseudo-labels come from the flagship rgrgr_r94 transducer with the
+    measured real-read calibration preset (0.754/0.806 identity on the
+    truth reads, BASELINE.md) — standard self-training: the CRF head
+    learns real signal statistics from a teacher that is already ~0.75
+    right, and the lattice loss marginalises the teacher's alignment.
+    The basecall's per-block pos array bounds the label subsequence to
+    the chunk-trimmed signal span (the overlapper fills pos, mirroring
+    ref src/decode.c:482-498).
+    """
+    from scrappie_tpu.io.fast5 import read_raw
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.signal.trim import trim_and_segment_raw
+    from scrappie_tpu.types import RawSignal
+    from scrappie_tpu.utils.maths import medmad_normalise
+
+    raw = read_raw(PSEUDO_F5, scale_to_pA=True)
+    rt = trim_and_segment_raw(RawSignal(raw.raw, uuid=raw.uuid),
+                              200, 10, 100, 0.0)
+    norm = medmad_normalise(rt.trimmed).astype(np.float32)
+    eng = BasecallEngine("rgrgr_r94", batch_size=8)
+    res = eng.basecall_signals([RawSignal(raw.raw, uuid=raw.uuid)],
+                               stay_pen=0.5, skip_pen=0.5)[0]
+    if not res.sequence:
+        raise RuntimeError("pseudo-labelling basecall failed on ch228")
+    tsig = (len(norm) // (spec.stride * chunk)) * spec.stride * chunk
+    # bases emitted by blocks covering [0, tsig): pos[entry] is the
+    # basecall coordinate after path entry `entry`; block b -> entry b+1.
+    # The teacher ran at stride 5; convert the cut to ITS block grid.
+    teacher_stride = 5
+    cut_block = min(tsig // teacher_stride, res.nblock)
+    hi = int(res.pos[cut_block])  # pos has nblock+1 entries
+    codes = {"A": 0, "C": 1, "G": 2, "T": 3}
+    bases = np.fromiter((codes[c] for c in res.sequence[:hi]),
+                        dtype=np.int32, count=hi)
+    return norm[:tsig], bases
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -54,6 +96,13 @@ def main():
     ap.add_argument("--sim-every", type=int, default=0,
                     help="full mode: every N steps add one simulated "
                          "window lattice step (0 = off)")
+    ap.add_argument("--pseudo-ch228", action="store_true", default=False,
+                    help="self-training: add the third bundled read "
+                         "(ch228, no truth FASTA) as a weakly-supervised "
+                         "whole region, pseudo-labelled by the flagship "
+                         "rgrgr_r94 transducer with the measured real "
+                         "calibration preset (0.75-identity on the truth "
+                         "reads); train-only, never evaluated")
     ap.add_argument("--init", default=None)
     ap.add_argument("--save", default=None)
     ap.add_argument("--seed", type=int, default=0)
@@ -95,6 +144,13 @@ def main():
               f"{len(sig)//spec.stride} blocks, {len(bases)} bases",
               flush=True)
         regions.append((sig[None, :, None], bases[None, :]))
+
+    if args.pseudo_ch228:
+        sig_p, bases_p = pseudo_region_ch228(spec, args.chunk)
+        print(f"[ch228 pseudo] region {len(sig_p)} samples -> "
+              f"{len(sig_p)//spec.stride} blocks, {len(bases_p)} "
+              f"pseudo-label bases", flush=True)
+        regions.append((sig_p[None, :, None], bases_p[None, :]))
 
     lr = args.lr if args.lr is not None else (3e-3 if args.mode == "head"
                                               else 1e-4)
