@@ -296,6 +296,14 @@ class StreamingBasecaller(SampleBufferMixin):
             return np.asarray(paths)[0][1:], float(np.asarray(scores)[0])
         lp = posterior(params, jnp.asarray(x)[None, :, None])
         if self.spec.kind == "rnnrf":
+            if ops.pallas_enabled():
+                # device-side CRF Viterbi (ops/crf.py): identical paths
+                # to decode_crf's scan, without shipping the [B, nb, 25]
+                # transitions to the host and back
+                from scrappie_tpu.ops.crf import crf_viterbi_kernel
+
+                scores, paths = crf_viterbi_kernel(lp)
+                return np.asarray(paths)[0][:-1], float(np.asarray(scores)[0])
             scores, paths = decode_crf(np.asarray(lp))
             return np.asarray(paths)[0][:-1], float(scores[0])
         scores, paths = viterbi_decode_batch(lp, *self._decode_args)
@@ -518,6 +526,13 @@ class StreamingBatcher:
             return paths[:n, 1:], scores[:n]
         lp = self._posterior(self._params, x)
         if self.spec.kind == "rnnrf":
+            if ops.pallas_enabled():
+                # device-side CRF Viterbi (see _decode): no host
+                # round-trip of the transition tensor
+                from scrappie_tpu.ops.crf import crf_viterbi_kernel
+
+                scores, paths = crf_viterbi_kernel(lp)
+                return paths[:n, :-1], scores[:n]
             # decode_crf materialises internally (np); already sliced
             scores, paths = decode_crf(np.asarray(lp))
             return np.asarray(paths)[:n, :-1], np.asarray(scores)[:n]
