@@ -164,7 +164,8 @@ def viterbi_decode_batch(logpost, stay_pen=0.0, skip_pen=0.0, local_pen=2.0,
 
         lp_tm = jnp.moveaxis(logpost, 1, 0)
         final, tb = viterbi_scores_tm(lp_tm, stay_pen, skip_pen, local_pen,
-                                      use_slip)
+                                      use_slip,
+                                      fast_expand=ops.fast_expand_enabled())
         return viterbi_backtrace_tm(final, tb)
     final, tb = viterbi_transducer_scores(logpost, stay_pen, skip_pen,
                                           local_pen, use_slip)

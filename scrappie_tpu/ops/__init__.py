@@ -101,6 +101,26 @@ def resolve_precision(prec_name):
             else jax.lax.Precision.HIGHEST)
 
 
+_FAST_EXPAND = os.environ.get("SCRAPPIE_TPU_FAST_EXPAND", "").strip().lower() \
+    in ("1", "true", "on", "yes")
+
+
+def fast_expand_enabled() -> bool:
+    """EXPERIMENTAL: 2-chunk (16-bit) Viterbi lane expansions.
+
+    Trades the bit-exact decode-parity guarantee for ~1/3 less expansion
+    MXU work (the dominant bf16-path cost, BASELINE.md roofline).  Off
+    by default; enable with SCRAPPIE_TPU_FAST_EXPAND=1 or
+    set_fast_expand(True) to measure.  See ops/viterbi._expand.
+    """
+    return _FAST_EXPAND
+
+
+def set_fast_expand(value: bool) -> None:
+    global _FAST_EXPAND
+    _FAST_EXPAND = bool(value)
+
+
 LANE = 128
 
 

@@ -96,21 +96,23 @@ def rgrgr_basecall_fused(params, sig, **kwargs):
     bf16 matmuls: ~1.8x faster, sequences diverge ~0.4% (resolved here,
     outside the jit boundary, so the policy change retraces).
     """
-    from scrappie_tpu.ops import kernel_precision_name
+    from scrappie_tpu.ops import fast_expand_enabled, kernel_precision_name
 
     kwargs.setdefault("prec_name", kernel_precision_name())
+    kwargs.setdefault("fast_expand", fast_expand_enabled())
     return _rgrgr_basecall_fused(params, sig, **kwargs)
 
 
 @functools.partial(jax.jit, static_argnames=("conv_activation", "stride",
                                              "use_slip", "prec_name",
-                                             "with_qual"))
+                                             "with_qual", "fast_expand"))
 def _rgrgr_basecall_fused(params, sig, *, conv_activation: str = "elu",
                           stride: int = 5, min_prob=1e-5, tempW=1.0,
                           tempb=1.0, stay_pen=0.0, skip_pen=0.0,
                           local_pen=2.0, use_slip: bool = False,
                           prec_name: str | None = None,
-                          with_qual: bool = False):
+                          with_qual: bool = False,
+                          fast_expand: bool = False):
     B = sig.shape[0]
     pad = (-B) % 8
     if pad:
@@ -142,7 +144,8 @@ def _rgrgr_basecall_fused(params, sig, *, conv_activation: str = "elu",
     final, tb = viterbi_fused_tm(
         x, params["FF_W"], params["FF_b"], min_prob=min_prob, tempW=tempW,
         tempb=tempb, stay_pen=stay_pen, skip_pen=skip_pen,
-        local_pen=local_pen, use_slip=use_slip, ct=ct, prec_name=prec_name)
+        local_pen=local_pen, use_slip=use_slip, ct=ct, prec_name=prec_name,
+        fast_expand=fast_expand)
     score, path = viterbi_backtrace_tm(final, tb)
     if with_qual:
         qual = _fused_quality_stream(x, params["FF_W"], params["FF_b"], path,
@@ -161,19 +164,22 @@ def raw_basecall_fused(params, sig, **kwargs):
     the same fused Pallas GRU kernels in both directions, combined with
     feedforward2_tanh, then the fused posterior-head+Viterbi kernel.
     """
-    from scrappie_tpu.ops import kernel_precision_name
+    from scrappie_tpu.ops import fast_expand_enabled, kernel_precision_name
 
     kwargs.setdefault("prec_name", kernel_precision_name())
+    kwargs.setdefault("fast_expand", fast_expand_enabled())
     return _raw_basecall_fused(params, sig, **kwargs)
 
 
 @functools.partial(jax.jit, static_argnames=("stride", "use_slip",
-                                             "prec_name", "with_qual"))
+                                             "prec_name", "with_qual",
+                                             "fast_expand"))
 def _raw_basecall_fused(params, sig, *, stride: int = 4, min_prob=1e-5,
                         tempW=1.0, tempb=1.0, stay_pen=0.0, skip_pen=0.0,
                         local_pen=2.0, use_slip: bool = False,
                         prec_name: str | None = None,
-                        with_qual: bool = False):
+                        with_qual: bool = False,
+                        fast_expand: bool = False):
     from scrappie_tpu.models.forward import _ff2_tanh_padded
 
     B = sig.shape[0]
@@ -206,7 +212,8 @@ def _raw_basecall_fused(params, sig, *, stride: int = 4, min_prob=1e-5,
     final, tb = viterbi_fused_tm(
         x, params["FF3_W"], params["FF3_b"], min_prob=min_prob, tempW=tempW,
         tempb=tempb, stay_pen=stay_pen, skip_pen=skip_pen,
-        local_pen=local_pen, use_slip=use_slip, ct=ct, prec_name=prec_name)
+        local_pen=local_pen, use_slip=use_slip, ct=ct, prec_name=prec_name,
+        fast_expand=fast_expand)
     score, path = viterbi_backtrace_tm(final, tb)
     if with_qual:
         qual = _fused_quality_stream(x, params["FF3_W"], params["FF3_b"],
@@ -229,19 +236,22 @@ def events_basecall_fused(params, feats, **kwargs):
     to the lax.scan reference programs at the default HIGHEST
     precision (same kernel family, same guarantee as the raw paths).
     """
-    from scrappie_tpu.ops import kernel_precision_name
+    from scrappie_tpu.ops import fast_expand_enabled, kernel_precision_name
 
     kwargs.setdefault("prec_name", kernel_precision_name())
+    kwargs.setdefault("fast_expand", fast_expand_enabled())
     return _events_basecall_fused(params, feats, **kwargs)
 
 
 @functools.partial(jax.jit, static_argnames=("winlen", "use_slip",
-                                             "prec_name", "with_qual"))
+                                             "prec_name", "with_qual",
+                                             "fast_expand"))
 def _events_basecall_fused(params, feats, *, winlen: int = 3, min_prob=1e-5,
                            tempW=1.0, tempb=1.0, stay_pen=0.0, skip_pen=0.0,
                            local_pen=2.0, use_slip: bool = False,
                            prec_name: str | None = None,
-                           with_qual: bool = False):
+                           with_qual: bool = False,
+                           fast_expand: bool = False):
     from scrappie_tpu.models.forward import _ff2_tanh_padded
     from scrappie_tpu.nn.layers import window
     from scrappie_tpu.ops.lstm import lstm_layer_fused_tm, pad_lstm_params
@@ -273,7 +283,8 @@ def _events_basecall_fused(params, feats, *, winlen: int = 3, min_prob=1e-5,
     final, tb = viterbi_fused_tm(
         x, params["FF3_W"], params["FF3_b"], min_prob=min_prob, tempW=tempW,
         tempb=tempb, stay_pen=stay_pen, skip_pen=skip_pen,
-        local_pen=local_pen, use_slip=use_slip, ct=ct, prec_name=prec_name)
+        local_pen=local_pen, use_slip=use_slip, ct=ct, prec_name=prec_name,
+        fast_expand=fast_expand)
     score, path = viterbi_backtrace_tm(final, tb)
     if with_qual:
         qual = _fused_quality_stream(x, params["FF3_W"], params["FF3_b"],

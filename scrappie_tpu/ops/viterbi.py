@@ -49,7 +49,7 @@ def _dot(m, E, precision):
                                precision=precision)
 
 
-def _expand(m, E):
+def _expand(m, E, fast: bool = False):
     """Interleaved lane expansion out[:, d] = m[:, d // n] as exact MXU
     matmuls with the one-hot matrix E [q, nhist] (single 1.0 per column).
 
@@ -59,13 +59,23 @@ def _expand(m, E):
     the operand is split into three disjoint-significand bf16 chunks
     (8+8+8 = 24 bits), each expanded in a one-pass bf16 matmul, and the
     partial sums recombine exactly (disjoint bit ranges).  This is 2x
-    cheaper than Mosaic's HIGHEST (6-pass) lowering."""
+    cheaper than Mosaic's HIGHEST (6-pass) lowering.
+
+    fast=True (SCRAPPIE_TPU_FAST_EXPAND, experimental): a single 2-chunk
+    (hi+mid, 16 significand bits) expansion — 1/3 less expansion work at
+    ~8e-6 relative DP error per copy.  This GIVES UP the bit-exact
+    decode-parity guarantee (paths can drift from the lax.scan programs
+    over long chunks); it exists to measure the roofline headroom the
+    exactness costs (BASELINE.md round-3 roofline: 67% of the bf16
+    path's MXU budget is exact expansion)."""
     hi = m.astype(jnp.bfloat16).astype(jnp.float32)
     # +-inf survives through hi alone; the residual would be inf-inf=NaN.
     rem = jnp.where(jnp.isfinite(m), m - hi, 0.0)
     mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = rem - mid
     d = jax.lax.Precision.DEFAULT
+    if fast:
+        return _dot(hi, E, d) + _dot(mid, E, d)
+    lo = rem - mid
     return (_dot(hi, E, d) + _dot(mid, E, d)) + _dot(lo, E, d)
 
 
@@ -77,7 +87,7 @@ def _expand_smallint(r, E):
 
 def _dp_step(lph, stay_lp_raw, stay_pen, skip_pen, local_pen,
              hist_ref, loc_ref, tbh_ref, tbl_ref, e4, e16, e64,
-             *, nhist, use_slip, tb_slot=0):
+             *, nhist, use_slip, tb_slot=0, fast_expand=False):
     """One Viterbi block update on VMEM-resident values.
 
     lph [Bt, nhist] history-state log posteriors; stay_lp_raw [Bt, 1]
@@ -113,7 +123,7 @@ def _dp_step(lph, stay_lp_raw, stay_pen, skip_pen, local_pen,
         r = jnp.zeros((Bt, q), jnp.float32)
         for i in range(n - 1, -1, -1):        # reversed => first max wins
             r = jnp.where(g[i] == m, float(i), r)
-        cand = lph + _expand(m, E) - pen
+        cand = lph + _expand(m, E, fast=fast_expand) - pen
         # pred = r*q + group(d), group(d) = d // n = lanes >> log2(n)
         ptb = (_expand_smallint(r, E) * float(q)
                + (lanesh // n).astype(jnp.float32))
@@ -158,7 +168,7 @@ def _dp_init(hist_ref, loc_ref):
 
 def _fwd_kernel(stay_ref, skip_ref, local_ref, lph_ref, lps_ref, e4_ref,
                 e16_ref, e64_ref, fhist_ref, floc_ref, tbh_ref, tbl_ref,
-                hist_ref, loc_ref, *, nhist, use_slip):
+                hist_ref, loc_ref, *, nhist, use_slip, fast_expand=False):
     # hist_ref/loc_ref are VMEM *scratch*: a constant-index output block
     # would be flushed to HBM every grid step when another output
     # streams (measured 4x slowdown), so the carry lives in scratch and
@@ -173,7 +183,7 @@ def _fwd_kernel(stay_ref, skip_ref, local_ref, lph_ref, lps_ref, e4_ref,
     _dp_step(lph_ref[0], lps_ref[0], stay_ref[0, 0], skip_ref[0, 0],
              local_ref[0, 0], hist_ref, loc_ref, tbh_ref, tbl_ref,
              e4_ref[:], e16_ref[:], e64_ref[:], nhist=nhist,
-             use_slip=use_slip)
+             use_slip=use_slip, fast_expand=fast_expand)
 
     @pl.when(t == T - 1)
     def _():
@@ -188,9 +198,11 @@ def _onehot_expander(nhist: int, n: int):
     return (jnp.arange(q)[:, None] == (d // n)[None, :]).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("use_slip", "interpret"))
+@functools.partial(jax.jit, static_argnames=("use_slip", "interpret",
+                                              "fast_expand"))
 def viterbi_scores_tm(lp_tm, stay_pen=0.0, skip_pen=0.0, local_pen=2.0,
-                      use_slip: bool = False, interpret: bool | None = None):
+                      use_slip: bool = False, interpret: bool | None = None,
+                      fast_expand: bool = False):
     """Forward Viterbi over time-major log posteriors [T, B, nstate].
 
     Returns (final [B, nhist+2] f32, traceback [T, B, nhist+2] int16);
@@ -219,7 +231,8 @@ def viterbi_scores_tm(lp_tm, stay_pen=0.0, skip_pen=0.0, local_pen=2.0,
     lph = lp_tm[:, :, :nhist]
     lps = lp_tm[:, :, nhist:]
 
-    kern = functools.partial(_fwd_kernel, nhist=nhist, use_slip=use_slip)
+    kern = functools.partial(_fwd_kernel, nhist=nhist, use_slip=use_slip,
+                             fast_expand=fast_expand)
     scal = lambda v: jnp.asarray(v, jnp.float32).reshape(1, 1)
     smem = lambda: pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                                 memory_space=pltpu.SMEM)
@@ -372,7 +385,7 @@ def viterbi_backtrace_tm(final, tb_tm, interpret: bool | None = None,
 def _fused_kernel(stay_ref, skip_ref, local_ref, tw_ref, tb_temp_ref,
                   c0_ref, c1_ref, h_ref, W_ref, bvec_ref, e4_ref, e16_ref,
                   e64_ref, fhist_ref, floc_ref, tbh_ref, tbl_ref,
-                  hist_ref, loc_ref, *, nhist, use_slip, CT, prec=None):
+                  hist_ref, loc_ref, *, nhist, use_slip, CT, prec=None, fast_expand=False):
     """Posterior head fused into the Viterbi scan: per step the hidden
     block h [Bt, Sp] goes through the output projection + temperature
     softmax (ref softmax_with_temperature, src/layers.c:333-357) +
@@ -407,7 +420,8 @@ def _fused_kernel(stay_ref, skip_ref, local_ref, tw_ref, tb_temp_ref,
         _dp_step(lp[:, :nhist], lp[:, nhist : nhist + 1], stay_ref[0, 0],
                  skip_ref[0, 0], local_ref[0, 0], hist_ref, loc_ref,
                  tbh_ref, tbl_ref, e4_ref[:], e16_ref[:], e64_ref[:],
-                 nhist=nhist, use_slip=use_slip, tb_slot=i)
+                 nhist=nhist, use_slip=use_slip, tb_slot=i,
+                 fast_expand=fast_expand)
 
     @pl.when(t == T - 1)
     def _():
@@ -416,12 +430,13 @@ def _fused_kernel(stay_ref, skip_ref, local_ref, tw_ref, tb_temp_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("use_slip", "interpret", "ct",
-                                              "prec_name"))
+                                              "prec_name", "fast_expand"))
 def viterbi_fused_tm(h_tm, W, bvec, nstate: int | None = None, min_prob=1e-5,
                      tempW=1.0, tempb=1.0, stay_pen=0.0, skip_pen=0.0,
                      local_pen=2.0, use_slip: bool = False,
                      interpret: bool | None = None, ct: int = 1,
-                     prec_name: str | None = None):
+                     prec_name: str | None = None,
+                     fast_expand: bool = False):
     """Fused output-projection + softmax + robustlog + Viterbi forward.
 
     h_tm [T, B, Sp] lane-padded hidden features (time-major), W
@@ -463,7 +478,8 @@ def viterbi_fused_tm(h_tm, W, bvec, nstate: int | None = None, min_prob=1e-5,
     from scrappie_tpu.ops import resolve_precision
 
     kern = functools.partial(_fused_kernel, nhist=nhist, use_slip=use_slip,
-                             CT=CT, prec=resolve_precision(prec_name))
+                             CT=CT, prec=resolve_precision(prec_name),
+                             fast_expand=fast_expand)
     scal = lambda v: jnp.asarray(v, jnp.float32).reshape(1, 1)
     smem = lambda: pl.BlockSpec((1, 1), lambda b, t: (0, 0),
                                 memory_space=pltpu.SMEM)

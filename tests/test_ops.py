@@ -449,3 +449,28 @@ def test_events_fused_pipeline_matches_two_stage(pens):
     np.testing.assert_array_equal(np.asarray(path), np.asarray(path_ref))
     np.testing.assert_allclose(np.asarray(score), np.asarray(score_ref),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_fast_expand_close_to_exact():
+    """EXPERIMENTAL fast-expand (2-chunk 16-bit Viterbi lane expansion,
+    SCRAPPIE_TPU_FAST_EXPAND): scores within ~1e-4 and paths mostly
+    identical to the exact 3-chunk expansion on small shapes.  This
+    mode deliberately gives up the bit-exact parity guarantee; the test
+    pins the plumbing and the error scale, not equality."""
+    from scrappie_tpu.ops.viterbi import viterbi_backtrace_tm, viterbi_scores_tm
+
+    rng = np.random.default_rng(41)
+    lp = jnp.asarray(
+        np.log(rng.dirichlet(np.ones(1025), size=(12, 2)) + 1e-8)
+        .astype(np.float32))
+    outs = {}
+    for fast in (False, True):
+        final, tb = viterbi_scores_tm(lp, 0.1, 0.4, 2.0, False,
+                                      fast_expand=fast)
+        outs[fast] = viterbi_backtrace_tm(final, tb)
+    s_exact, p_exact = outs[False]
+    s_fast, p_fast = outs[True]
+    np.testing.assert_allclose(np.asarray(s_fast), np.asarray(s_exact),
+                               rtol=1e-4, atol=1e-3)
+    mism = (np.asarray(p_fast) != np.asarray(p_exact)).mean()
+    assert mism < 0.05, f"fast-expand path divergence {mism:.3f}"
