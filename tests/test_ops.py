@@ -454,15 +454,26 @@ def test_events_fused_pipeline_matches_two_stage(pens):
 def test_fast_expand_close_to_exact():
     """EXPERIMENTAL fast-expand (2-chunk 16-bit Viterbi lane expansion,
     SCRAPPIE_TPU_FAST_EXPAND): scores within ~1e-4 and paths mostly
-    identical to the exact 3-chunk expansion on small shapes.  This
-    mode deliberately gives up the bit-exact parity guarantee; the test
-    pins the plumbing and the error scale, not equality."""
+    identical to the exact 3-chunk expansion.  This mode deliberately
+    gives up the bit-exact parity guarantee; the test pins the plumbing
+    and the error scale, not equality.
+
+    The posterior must have a coherent hot path: on uniform-random
+    posteriors with local_pen=2 the Viterbi winner is the local
+    start/end chain, which never touches an expansion, and any
+    expansion perturbation is invisible (measured round 4)."""
     from scrappie_tpu.ops.viterbi import viterbi_backtrace_tm, viterbi_scores_tm
 
     rng = np.random.default_rng(41)
-    lp = jnp.asarray(
-        np.log(rng.dirichlet(np.ones(1025), size=(12, 2)) + 1e-8)
-        .astype(np.float32))
+    T, B = 40, 2
+    lp = np.log(rng.dirichlet(np.ones(1025), size=(T, B)) + 1e-8)
+    # random-walk hot path: each block strongly prefers a step successor
+    state = rng.integers(0, 1024, size=B)
+    for t in range(T):
+        state = (state * 4 + rng.integers(0, 4, size=B)) % 1024
+        lp[t, np.arange(B), state] += 8.0
+    lp = jnp.asarray(lp.astype(np.float32))
+    # renormalise is unnecessary: Viterbi compares sums, not probabilities
     outs = {}
     for fast in (False, True):
         final, tb = viterbi_scores_tm(lp, 0.1, 0.4, 2.0, False,
@@ -470,7 +481,13 @@ def test_fast_expand_close_to_exact():
         outs[fast] = viterbi_backtrace_tm(final, tb)
     s_exact, p_exact = outs[False]
     s_fast, p_fast = outs[True]
+    # the hot path makes step moves win, so the dropped 8-bit chunk is
+    # IN the winning scores: assert they differ (plumbing proof) but
+    # only at the expected scale, with paths essentially unchanged
     np.testing.assert_allclose(np.asarray(s_fast), np.asarray(s_exact),
                                rtol=1e-4, atol=1e-3)
+    assert not np.array_equal(np.asarray(s_fast), np.asarray(s_exact)), \
+        "fast-expand produced bit-identical scores on a step-dominated " \
+        "path — the flag is not reaching the kernel"
     mism = (np.asarray(p_fast) != np.asarray(p_exact)).mean()
     assert mism < 0.05, f"fast-expand path divergence {mism:.3f}"
