@@ -53,7 +53,13 @@ REAL_CALIBRATION: dict[str, dict[str, float]] = {
     "raw_r94": {"stay_pen": 1.0, "skip_pen": 0.0},
     "rgrgr_r941": {"stay_pen": 1.0, "skip_pen": 0.0},
     "rgrgr_r10": {"stay_pen": 1.0, "skip_pen": 0.0},
-    "rnnrf_r94": {"crf_emit_bias": -0.5},
+    # Round-4 whole-region-trained weights: the refit sweep
+    # (-0.5..+1.5 on the whole-read lattices) found the reference
+    # default emit bias 0.0 already optimal (ch174 best at 0.0, ch271
+    # 0.5 tied with 0.0 at two-read resolution) — the whole-region
+    # CRF training calibrated the stay/emit balance that the earlier
+    # window-trained weights needed -2.0/-1.0/-0.5 to patch.
+    "rnnrf_r94": {},
     "nanonet_events": {"stay_pen": 1.0, "skip_pen": 0.0},
 }
 
@@ -69,7 +75,7 @@ CALIBRATED_WEIGHT_SHA: dict[str, str] = {
     "raw_r94": "c2a196e59ec4b17d",
     "rgrgr_r941": "c4ed12dfe0c7e719",
     "rgrgr_r10": "0fd0d169ba965e7c",
-    "rnnrf_r94": "c19024bb75ffa2fd",
+    "rnnrf_r94": "9cc4c0934aa10e75",
     "nanonet_events": "b38aa8221e20c1ff",
 }
 

@@ -29,9 +29,10 @@ def test_preset_real_per_model():
     # skip=0 robustness point, not the raw grid optimum (see module doc)
     assert calibration.preset("rgrgr_r10", "real") == {
         "stay_pen": 1.0, "skip_pen": 0.0}
-    # the CRF model's knob is the emit bias, not stay/skip (refit at
-    # -0.5 for the round-3 averaged weights — BASELINE.md)
-    assert calibration.preset("rnnrf_r94", "real") == {"crf_emit_bias": -0.5}
+    # the CRF model's knob is the emit bias, not stay/skip; the round-4
+    # whole-region-trained weights measured best at the reference
+    # default 0.0 (BASELINE.md), so the preset is empty
+    assert calibration.preset("rnnrf_r94", "real") == {}
     assert calibration.preset("nanonet_events", "real") == {
         "stay_pen": 1.0, "skip_pen": 0.0}
     # unknown model -> no preset
@@ -86,7 +87,11 @@ def test_api_basecall_raw_expands_preset(monkeypatch):
     assert seen["rgrgr_r94"]["stay_pen"] == 0.5
     assert seen["rgrgr_r94"]["skip_pen"] == 0.5
 
+    # the round-4 rnnrf preset is empty (reference default optimal);
+    # the CRF emit-bias plumbing is exercised with an explicit kwarg
     api.basecall_raw(sig, model="rnnrf_r94", calibration="real")
+    assert seen["rnnrf_r94"] == {}
+    api.basecall_raw(sig, model="rnnrf_r94", emit_bias=-0.5)
     assert seen["rnnrf_r94"] == {"emit_bias": -0.5}
 
     # explicit kwarg beats the preset
