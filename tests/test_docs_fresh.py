@@ -75,7 +75,9 @@ def test_speedup_multipliers_match_bench():
         flat = re.sub(r"\s+", " ", (ROOT / doc).read_text())
         for m in re.finditer(r"(\d{3,4})×", flat):
             claim = float(m.group(1))
-            ok = any(abs(claim - s) <= max(1.0, 0.01 * s) for s in speedups)
+            # 3% tolerance: bench throughput varies ±2% run-to-run
+            # (BASELINE.md), and the docs quote one specific run
+            ok = any(abs(claim - s) <= max(1.0, 0.03 * s) for s in speedups)
             assert ok, (
                 f"{doc} claims a {m.group(1)}× speedup; newest BENCH implies "
                 f"{sorted(round(s) for s in speedups if s)} — stale headline")
