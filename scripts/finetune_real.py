@@ -58,6 +58,42 @@ def load_reads(label_model: str = "rgrgr_r94", refresh: bool = False):
     return reads
 
 
+def load_pseudo_ch228(refresh: bool = False):
+    """The truth-less third bundled read as a pseudo-labelled
+    LabelledRead (self-training, round 4): basecalled by the calibrated
+    flagship transducer (0.754/0.806 on the truth reads, BASELINE.md)
+    and label-aligned to its own call with the standard labelling
+    pipeline.  Train-only — never evaluated (no truth exists)."""
+    from scrappie_tpu.train.realdata import LabelledRead, label_read
+
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, "pseudo_ch228.npz")
+    if os.path.exists(path) and not refresh:
+        z = np.load(path, allow_pickle=False)
+        return LabelledRead(str(z["name"]), z["norm"], z["bases"],
+                            z["base_at"], float(z["score"]))
+    from scrappie_tpu.io.fast5 import read_raw
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.signal.trim import trim_and_segment_raw
+    from scrappie_tpu.types import RawSignal
+    from scrappie_tpu.utils.maths import medmad_normalise
+
+    raw = read_raw("/root/reference/reads/read_ch228_file118.fast5",
+                   scale_to_pA=True)
+    rt = trim_and_segment_raw(RawSignal(raw.raw, uuid=raw.uuid),
+                              200, 10, 100, 0.0)
+    norm = medmad_normalise(rt.trimmed).astype(np.float32)
+    eng = BasecallEngine("rgrgr_r94", batch_size=8)
+    res = eng.basecall_signals([RawSignal(raw.raw, uuid=raw.uuid)],
+                               stay_pen=0.5, skip_pen=0.5)[0]
+    if not res.sequence:
+        raise RuntimeError("pseudo-labelling basecall failed on ch228")
+    r = label_read(norm, res.sequence, name="ch228_pseudo")
+    np.savez_compressed(path, name=r.name, norm=r.norm, bases=r.bases,
+                        base_at=r.base_at, score=r.map_score)
+    return r
+
+
 def eval_real(model: str, params, sampler, read_idxs, whole: bool = False):
     """Basecall held-out tails (or whole reads); mean identity vs truth."""
     import functools
@@ -167,6 +203,10 @@ def main():
                          "registry weights dir <model>.npz)")
     ap.add_argument("--init", default=None, help="npz params to start from")
     ap.add_argument("--refresh-labels", action="store_true")
+    ap.add_argument("--pseudo-ch228", action="store_true", default=False,
+                    help="self-training: add the truth-less third bundled "
+                         "read, pseudo-labelled by the calibrated flagship "
+                         "transducer, to the training pool (train-only)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -186,15 +226,16 @@ def main():
                   else list(range(len(reads))))
     eval_idxs = (args.eval_reads if args.eval_reads is not None
                  else list(range(len(reads))))
+    train_pool = [reads[i] for i in train_idxs]
+    if args.pseudo_ch228:
+        train_pool.append(load_pseudo_ch228(refresh=args.refresh_labels))
     if is_events:
         from scrappie_tpu.train.realdata import RealEventSampler
 
-        sampler = RealEventSampler([reads[i] for i in train_idxs],
-                                   seed=args.seed)
+        sampler = RealEventSampler(train_pool, seed=args.seed)
         eval_sampler = RealEventSampler(reads, seed=args.seed)
     else:
-        sampler = RealReadSampler([reads[i] for i in train_idxs],
-                                  seed=args.seed)
+        sampler = RealReadSampler(train_pool, seed=args.seed)
         eval_sampler = RealReadSampler(reads, seed=args.seed)
 
     if args.init:
