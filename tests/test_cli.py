@@ -133,8 +133,18 @@ def test_raw_fastq(reads_dir):
 
 
 def test_raw_fastq_incompatible_modes(reads_dir):
-    assert run_cli("raw", "-f", "fastq", "--fast", SMALL_FAST5).returncode == 1
+    """Round 4: fastq now works WITH --fast for transducer models (the
+    fused device quality stream); the remaining incompatibilities are
+    the CRF model's forward-backward (needs whole-read transitions) and
+    events dwell correction (rewrites runs after quality derivation)."""
+    assert run_cli("raw", "--model", "rnnrf_r94", "-f", "fastq", "--fast",
+                   SMALL_FAST5).returncode == 1
     assert run_cli("events", "-f", "fastq", SMALL_FAST5).returncode == 1
+
+    r = run_cli("raw", "-f", "fastq", "--fast", SMALL_FAST5)
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0].startswith("@") and len(lines[3]) == len(lines[1])
 
 
 def test_raw_sam_crf(reads_dir):
