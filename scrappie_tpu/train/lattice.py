@@ -40,7 +40,17 @@ def lattice_forward_batch(logpost, seqstates, stay_pen=0.0, skip_pen=4.0,
     seqstates [B, L] kmer state per sequence position, -1 padding
     (sequences are left-aligned, padded on the right).
     Returns [B] log P(sequence | posterior), local-global.
+    (jitted wrapper; see _lattice_forward_impl)
     """
+    return _lattice_forward_impl(logpost, seqstates, stay_pen, skip_pen,
+                                 local_pen, jax.lax.scan)
+
+
+def _lattice_forward_impl(logpost, seqstates, stay_pen, skip_pen,
+                          local_pen, scan_fn):
+    """Scan-parametrised transducer lattice forward: `scan_fn` is
+    lax.scan for windows, or train/wholeread.chunked_scan for
+    remat-chunked whole-region training (the CRF pair's pattern)."""
     logpost = jnp.asarray(logpost, jnp.float32)
     seqstates = jnp.asarray(seqstates, jnp.int32)
     B, T, S = logpost.shape
@@ -80,7 +90,7 @@ def lattice_forward_batch(logpost, seqstates, stay_pen=0.0, skip_pen=4.0,
         new_end = jnp.logaddexp(end + local_stay, exit_c)
         return (curr, new_start, new_end), None
 
-    (final, _, end), _ = jax.lax.scan(
+    (final, _, end), _ = scan_fn(
         step, init, jnp.moveaxis(logpost, 1, 0))
     last = jnp.take_along_axis(final, lastpos[:, None], axis=1)[:, 0]
     return jnp.logaddexp(last, end)

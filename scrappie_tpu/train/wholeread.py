@@ -125,6 +125,66 @@ def make_wholeread_step(model: str, optimizer, local_pen: float = 4.0,
     return train_step
 
 
+def transducer_wholeread_nll(lp, seqstates, stay_pen: float = 0.0,
+                             skip_pen: float = 4.0, local_pen: float = 4.0,
+                             chunk: int = 256):
+    """Whole-region transducer lattice NLL, remat-chunked.
+
+    lp [B, T, S] per-block-normalised log posteriors (T % chunk == 0),
+    seqstates [B, L] kmer states (-1 right-padding).  Unlike the CRF
+    pair no partition term is needed: the posterior is per-block
+    normalised, so -log P(seq)/T is the sound per-block NLL directly
+    (same loss as train/lattice.lattice_loss_fn, over a whole region
+    instead of a window)."""
+    from scrappie_tpu.train.lattice import _lattice_forward_impl
+
+    scan = chunked_scan(chunk)
+    logp = _lattice_forward_impl(lp, seqstates, stay_pen, skip_pen,
+                                 local_pen, scan)
+    return (-logp / lp.shape[1]).mean()
+
+
+def region_seqstates(read, train_end: int, stride: int, chunk: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """(signal [Tsig], kmer states [L-4]) for a transducer training
+    region — the kmer-state analogue of region_sequence."""
+    from scrappie_tpu.api import encode_bases
+    from scrappie_tpu.models.specs import KMER_LEN
+
+    sig, bases = region_sequence(read, train_end, stride, chunk)
+    seq = "".join("ACGT"[b] for b in bases)
+    return sig, np.asarray(encode_bases(seq, KMER_LEN), np.int32)
+
+
+def make_wholeread_transducer_step(model: str, optimizer,
+                                   stay_pen: float = 0.0,
+                                   skip_pen: float = 4.0,
+                                   local_pen: float = 4.0,
+                                   chunk: int = 256):
+    """Full-parameter whole-region transducer train step (one read per
+    call).  sig [1, Tsig, 1], seqstates [1, L]; retraces per distinct
+    (Tsig, L) shape."""
+    import optax
+
+    from scrappie_tpu import ops
+    from scrappie_tpu.train.trainer import posterior_fn
+
+    @jax.jit
+    def train_step(params, opt_state, sig, seqstates):
+        def lfn(p):
+            with ops.pallas(False):
+                lp = posterior_fn(model)(p, sig)
+            return transducer_wholeread_nll(lp, seqstates, stay_pen,
+                                            skip_pen, local_pen, chunk)
+
+        loss, grads = jax.value_and_grad(lfn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
 HEAD_KEYS = ("FF_W", "FF_b")
 
 

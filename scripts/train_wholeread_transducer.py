@@ -1,0 +1,165 @@
+"""Whole-region transducer fine-tuning on the bundled real reads.
+
+The round-4 rnnrf result (BASELINE.md): whole-region lattice training —
+one long region per read, alignment marginalised over the full span,
+endpoint noise reduced to two ends per ~15k blocks — beat every
+window-based protocol for the CRF head.  This applies the same
+protocol to the per-block-normalised transducer models (rgrgr_*, raw;
+the loss needs no partition term, train/wholeread.py).
+
+Protocol matches train_wholeread_crf.py: training regions are the head
+75% of each truth read (plus optionally the pseudo-labelled ch228 read,
+self-training); eval basecalls whole reads vs truth.
+
+Usage:
+  python scripts/train_wholeread_transducer.py --model rgrgr_r94 \
+      --steps 120 --sim-every 4 --pseudo-ch228
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from scrappie_tpu.utils.platform import apply_platform_override
+
+apply_platform_override()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="rgrgr_r94",
+                    choices=["rgrgr_r94", "rgrgr_r941", "rgrgr_r10",
+                             "raw_r94"])
+    ap.add_argument("--steps", type=int, default=120)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--stay-pen", type=float, default=0.0)
+    ap.add_argument("--skip-pen", type=float, default=4.0)
+    ap.add_argument("--local-pen", type=float, default=4.0)
+    ap.add_argument("--chunk", type=int, default=256)
+    ap.add_argument("--train-reads", type=int, nargs="*", default=None)
+    ap.add_argument("--eval-reads", type=int, nargs="*", default=None)
+    ap.add_argument("--eval-every", type=int, default=30)
+    ap.add_argument("--eval-whole", action="store_true", default=True)
+    ap.add_argument("--sim-every", type=int, default=4,
+                    help="every N steps add one simulated window lattice "
+                         "step (0 = off)")
+    ap.add_argument("--pseudo-ch228", action="store_true", default=False)
+    ap.add_argument("--init", default=None)
+    ap.add_argument("--save", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    import optax
+
+    from finetune_real import eval_real, load_pseudo_ch228, load_reads
+
+    from scrappie_tpu.models import registry
+    from scrappie_tpu.models.specs import RAW_MODELS
+    from scrappie_tpu.train import wholeread
+    from scrappie_tpu.train.realdata import RealReadSampler
+
+    spec = RAW_MODELS[args.model]
+    reads = load_reads()
+    train_idxs = (args.train_reads if args.train_reads is not None
+                  else list(range(len(reads))))
+    eval_idxs = (args.eval_reads if args.eval_reads is not None
+                 else list(range(len(reads))))
+    eval_sampler = RealReadSampler(reads, seed=args.seed)
+
+    if args.init:
+        params = dict(np.load(args.init))
+    else:
+        params = registry.load_params(args.model)
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+
+    regions = []
+    for i in train_idxs:
+        r = reads[i]
+        sig, states = wholeread.region_seqstates(
+            r, int(r.nsample * 0.75), spec.stride, args.chunk)
+        print(f"[{r.name}] region {len(sig)} samples -> "
+              f"{len(sig)//spec.stride} blocks, {len(states)} kmer states",
+              flush=True)
+        regions.append((sig[None, :, None], states[None, :]))
+    if args.pseudo_ch228:
+        r = load_pseudo_ch228()
+        sig, states = wholeread.region_seqstates(
+            r, r.nsample, spec.stride, args.chunk)
+        print(f"[ch228 pseudo] region {len(sig)} samples -> "
+              f"{len(sig)//spec.stride} blocks, {len(states)} kmer states",
+              flush=True)
+        regions.append((sig[None, :, None], states[None, :]))
+
+    optimizer = optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr)),
+        max_consecutive_errors=25)
+    opt_state = optimizer.init(params)
+    step_fn = wholeread.make_wholeread_transducer_step(
+        args.model, optimizer, args.stay_pen, args.skip_pen,
+        args.local_pen, args.chunk)
+
+    sim_step = None
+    if args.sim_every:
+        from scrappie_tpu.train.lattice import make_lattice_train_step
+        from scrappie_tpu.train.simulate import SquiggleSimulator
+
+        sim = SquiggleSimulator(seed=args.seed + 1)
+        sim_step = make_lattice_train_step(args.model, optimizer,
+                                           stay_pen=args.stay_pen,
+                                           skip_pen=args.skip_pen,
+                                           local_pen=args.local_pen)
+        sim_L = 4000 // spec.stride  # generous kmer-state cap per window
+
+    def run_eval(tag):
+        ident = eval_real(args.model, params, eval_sampler, eval_idxs,
+                          whole=args.eval_whole)
+        print(f"[{tag}] held-out identity {ident:.4f}", flush=True)
+        return ident
+
+    best = (-1.0, None)
+    t0 = time.time()
+    for i in range(args.steps):
+        sig, states = regions[i % len(regions)]
+        params, opt_state, loss = step_fn(params, opt_state,
+                                          jnp.asarray(sig),
+                                          jnp.asarray(states))
+        if sim_step is not None and args.sim_every and \
+                i % args.sim_every == args.sim_every - 1:
+            sigs, seqs = sim.seq_batch(8, 4000, sim_L)
+            params, opt_state, _ = sim_step(params, opt_state, sigs, seqs)
+        if i % 10 == 0 or i == args.steps - 1:
+            print(f"step {i}: nll/block {float(loss):.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+        if args.eval_every and (i + 1) % args.eval_every == 0:
+            ident = run_eval(f"step {i}")
+            if np.isfinite(ident) and ident > best[0]:
+                best = (ident, {k: np.asarray(v) for k, v in params.items()})
+
+    ident = run_eval("final")
+    if np.isfinite(ident) and ident > best[0]:
+        best = (ident, {k: np.asarray(v) for k, v in params.items()})
+
+    if best[1] is not None:
+        from train_models import evaluate as eval_sim
+
+        simid = eval_sim(args.model, {k: jnp.asarray(v)
+                                      for k, v in best[1].items()})
+        print(f"best held-out {best[0]:.4f}, sim identity {simid:.4f}",
+              flush=True)
+        save = args.save or os.path.join(
+            os.path.dirname(__file__), "..", ".cache",
+            f"wholeread_{args.model}.npz")
+        np.savez_compressed(save, **best[1])
+        print(f"saved -> {save}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

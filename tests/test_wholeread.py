@@ -101,3 +101,51 @@ def test_head_step_moves_only_head():
     _, _, l2 = step(h1, st, feats, bases)
     assert np.isfinite(l1) and float(l2) < float(l1)
     assert not np.allclose(np.asarray(h1["FF_W"]), np.asarray(head["FF_W"]))
+
+
+def test_transducer_wholeread_matches_window_loss():
+    """Round 4: the remat-chunked whole-region transducer lattice NLL is
+    bit-identical to the plain-scan window loss on the same data
+    (same recurrence, re-batched), including under grad."""
+    from scrappie_tpu.train.lattice import lattice_forward_batch
+
+    rng = np.random.default_rng(11)
+    B, T, L, S = 2, 64, 14, 1025
+    lp = jnp.asarray(
+        np.log(rng.dirichlet(np.ones(S), size=(B, T)) + 1e-9)
+        .astype(np.float32))
+    seqs = np.full((B, L), -1, np.int32)
+    for b in range(B):
+        n = int(rng.integers(6, L + 1))
+        seqs[b, :n] = rng.integers(0, 1024, n)
+    seqs = jnp.asarray(seqs)
+
+    plain = -(lattice_forward_batch(lp, seqs, 0.1, 4.0, 4.0) / T).mean()
+    chunked = wholeread.transducer_wholeread_nll(lp, seqs, 0.1, 4.0, 4.0,
+                                                 chunk=16)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(chunked))
+
+    g_plain = jax.grad(
+        lambda x: -(lattice_forward_batch(x, seqs, 0.1, 4.0, 4.0) / T).mean()
+    )(lp)
+    g_chunk = jax.grad(
+        lambda x: wholeread.transducer_wholeread_nll(x, seqs, 0.1, 4.0, 4.0,
+                                                     chunk=16))(lp)
+    np.testing.assert_array_equal(np.asarray(g_plain), np.asarray(g_chunk))
+
+
+def test_region_seqstates_kmer_encoding():
+    from scrappie_tpu.api import encode_bases
+
+    class R:
+        nsample = 4000
+        name = "r"
+        norm = np.random.default_rng(0).standard_normal(4000).astype(np.float32)
+        bases = np.array([0, 1, 2, 3, 0, 1, 2, 3, 0, 1], np.int64)
+        base_at = np.full(4000, -1, np.int64)
+
+    R.base_at[100:3000] = np.linspace(0, 9, 2900).astype(np.int64)
+    sig, states = wholeread.region_seqstates(R, 3000, 5, 2)
+    assert len(sig) % (5 * 2) == 0
+    assert states.dtype == np.int32 and (states >= 0).all()
+    assert len(states) == 10 - 4  # L - (KMER_LEN - 1)
