@@ -156,6 +156,33 @@ def region_seqstates(read, train_end: int, stride: int, chunk: int
     return sig, np.asarray(encode_bases(seq, KMER_LEN), np.int32)
 
 
+def region_event_seqstates(sampler, ridx: int, chunk: int
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """(event feats [T, 4], kmer states [L]) for an events-model
+    training region — the event-table analogue of region_seqstates.
+
+    T is the read's training-region event count trimmed to a multiple
+    of `chunk`; features are the whole-read-studentised rows the
+    shipping pipeline feeds the network (train/realdata.py
+    RealEventSampler), and the kmer states span the bases aligned to
+    the region's events (interior alignment marginalised by the
+    lattice, exactly as for raw regions)."""
+    d = sampler._ev[ridx]
+    nev = (sampler._train_nev[ridx] // chunk) * chunk
+    if not nev:
+        raise ValueError("training region shorter than one chunk of events")
+    feats = d["feats"][:nev].astype(np.float32)
+    eb = d["ev_base"][:nev]
+    valid = eb[eb >= 0]
+    if not len(valid):
+        raise ValueError("no aligned bases in events region")
+    lo = max(int(valid.min()), sampler.klen - 1)
+    hi = int(valid.max())
+    if hi < lo:
+        raise ValueError("events region spans no full kmer")
+    return feats, d["kmers"][lo : hi + 1].astype(np.int32)
+
+
 def make_wholeread_transducer_step(model: str, optimizer,
                                    stay_pen: float = 0.0,
                                    skip_pen: float = 4.0,
@@ -163,7 +190,11 @@ def make_wholeread_transducer_step(model: str, optimizer,
                                    chunk: int = 256):
     """Full-parameter whole-region transducer train step (one read per
     call).  sig [1, Tsig, 1], seqstates [1, L]; retraces per distinct
-    (Tsig, L) shape."""
+    (Tsig, L) shape.  Also serves nanonet_events, whose per-block
+    posterior is per-event: pass event feats [1, T, 4] as `sig`
+    (region_event_seqstates) — the lattice loss is identical because
+    both model families emit per-block-normalised transducer
+    posteriors (ref src/networks.c:146-194 events vs :321-420 raw)."""
     import optax
 
     from scrappie_tpu import ops

@@ -11,6 +11,11 @@ Protocol matches train_wholeread_crf.py: training regions are the head
 75% of each truth read (plus optionally the pseudo-labelled ch228 read,
 self-training); eval basecalls whole reads vs truth.
 
+Also serves nanonet_events: regions are whole-region event tables
+(blocks = events, the detector + whole-read studentisation of the
+shipping pipeline) with the same lattice loss — see
+train/wholeread.region_event_seqstates.
+
 Usage:
   python scripts/train_wholeread_transducer.py --model rgrgr_r94 \
       --steps 120 --sim-every 4 --pseudo-ch228
@@ -36,7 +41,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="rgrgr_r94",
                     choices=["rgrgr_r94", "rgrgr_r941", "rgrgr_r10",
-                             "raw_r94"])
+                             "raw_r94", "nanonet_events"])
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--stay-pen", type=float, default=0.0)
@@ -64,15 +69,17 @@ def main():
     from scrappie_tpu.models import registry
     from scrappie_tpu.models.specs import RAW_MODELS
     from scrappie_tpu.train import wholeread
-    from scrappie_tpu.train.realdata import RealReadSampler
+    from scrappie_tpu.train.realdata import RealEventSampler, RealReadSampler
 
-    spec = RAW_MODELS[args.model]
+    is_events = args.model == "nanonet_events"
+    spec = None if is_events else RAW_MODELS[args.model]
     reads = load_reads()
     train_idxs = (args.train_reads if args.train_reads is not None
                   else list(range(len(reads))))
     eval_idxs = (args.eval_reads if args.eval_reads is not None
                  else list(range(len(reads))))
-    eval_sampler = RealReadSampler(reads, seed=args.seed)
+    sampler_cls = RealEventSampler if is_events else RealReadSampler
+    eval_sampler = sampler_cls(reads, seed=args.seed)
 
     if args.init:
         params = dict(np.load(args.init))
@@ -80,23 +87,29 @@ def main():
         params = registry.load_params(args.model)
     params = {k: jnp.asarray(v) for k, v in params.items()}
 
-    regions = []
-    for i in train_idxs:
-        r = reads[i]
-        sig, states = wholeread.region_seqstates(
-            r, int(r.nsample * 0.75), spec.stride, args.chunk)
-        print(f"[{r.name}] region {len(sig)} samples -> "
-              f"{len(sig)//spec.stride} blocks, {len(states)} kmer states",
-              flush=True)
-        regions.append((sig[None, :, None], states[None, :]))
+    train_pool = [reads[i] for i in train_idxs]
     if args.pseudo_ch228:
-        r = load_pseudo_ch228()
-        sig, states = wholeread.region_seqstates(
-            r, r.nsample, spec.stride, args.chunk)
-        print(f"[ch228 pseudo] region {len(sig)} samples -> "
-              f"{len(sig)//spec.stride} blocks, {len(states)} kmer states",
-              flush=True)
-        regions.append((sig[None, :, None], states[None, :]))
+        train_pool.append(load_pseudo_ch228())
+    regions = []
+    if is_events:
+        # Regions are event tables: blocks = events, stride 1; the
+        # event sampler holds per-read detector output + kmer maps.
+        train_sampler = RealEventSampler(train_pool, seed=args.seed)
+        for i, r in enumerate(train_pool):
+            feats, states = wholeread.region_event_seqstates(
+                train_sampler, i, args.chunk)
+            print(f"[{r.name}] region {len(feats)} events, "
+                  f"{len(states)} kmer states", flush=True)
+            regions.append((feats[None], states[None, :]))
+    else:
+        for r in train_pool:
+            frac = 1.0 if r.name == "ch228_pseudo" else 0.75
+            sig, states = wholeread.region_seqstates(
+                r, int(r.nsample * frac), spec.stride, args.chunk)
+            print(f"[{r.name}] region {len(sig)} samples -> "
+                  f"{len(sig)//spec.stride} blocks, {len(states)} kmer states",
+                  flush=True)
+            regions.append((sig[None, :, None], states[None, :]))
 
     optimizer = optax.apply_if_finite(
         optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr)),
@@ -116,7 +129,23 @@ def main():
                                            stay_pen=args.stay_pen,
                                            skip_pen=args.skip_pen,
                                            local_pen=args.local_pen)
-        sim_L = 4000 // spec.stride  # generous kmer-state cap per window
+        # generous kmer-state cap per window (events: ~1 base/event)
+        sim_L = 600 if is_events else 4000 // spec.stride
+
+        def sim_events_seq(b, nevent, L):
+            """Detector-sim event batch with kmer seqstates (the
+            events analogue of sim.seq_batch, as in finetune_real)."""
+            from scrappie_tpu.api import encode_bases
+            from scrappie_tpu.models.specs import KMER_LEN
+
+            feats, _, truths = sim.detected_events_batch(
+                b, nevent, return_truth=True)
+            seqs = np.full((b, L), -1, np.int32)
+            for j, t in enumerate(truths):
+                if len(t) >= KMER_LEN:
+                    st = np.asarray(encode_bases(t, KMER_LEN), np.int32)
+                    seqs[j, : min(len(st), L)] = st[:L]
+            return feats, seqs
 
     def run_eval(tag):
         ident = eval_real(args.model, params, eval_sampler, eval_idxs,
@@ -137,7 +166,10 @@ def main():
                                           jnp.asarray(states))
         if sim_step is not None and args.sim_every and \
                 i % args.sim_every == args.sim_every - 1:
-            sigs, seqs = sim.seq_batch(8, 4000, sim_L)
+            if is_events:
+                sigs, seqs = sim_events_seq(8, 600, sim_L)
+            else:
+                sigs, seqs = sim.seq_batch(8, 4000, sim_L)
             params, opt_state, _ = sim_step(params, opt_state, sigs, seqs)
         if i % 10 == 0 or i == args.steps - 1:
             print(f"step {i}: nll/block {float(loss):.4f} "

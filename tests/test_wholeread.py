@@ -134,6 +134,36 @@ def test_transducer_wholeread_matches_window_loss():
     np.testing.assert_array_equal(np.asarray(g_plain), np.asarray(g_chunk))
 
 
+def test_region_event_seqstates():
+    """Events regions trim to a chunk multiple of events and span the
+    kmer states aligned to the region (round 4: events whole-region
+    training)."""
+
+    class FakeSampler:
+        klen = 5
+
+        def __init__(self):
+            rng = np.random.default_rng(2)
+            nev = 700
+            ev_base = np.full(nev, -1, np.int64)
+            ev_base[50:650] = np.linspace(0, 199, 600).astype(np.int64)
+            self._ev = [{
+                "feats": rng.normal(size=(nev, 4)).astype(np.float32),
+                "ev_base": ev_base,
+                "kmers": rng.integers(0, 1024, 196).astype(np.int64),
+            }]
+            self._train_nev = [660]
+
+    s = FakeSampler()
+    feats, states = wholeread.region_event_seqstates(s, 0, 128)
+    assert feats.shape == (640, 4) and feats.dtype == np.float32  # 660//128*128
+    eb = s._ev[0]["ev_base"][:640]
+    lo = max(int(eb[eb >= 0].min()), s.klen - 1)
+    hi = int(eb[eb >= 0].max())
+    np.testing.assert_array_equal(
+        states, s._ev[0]["kmers"][lo : hi + 1].astype(np.int32))
+
+
 def test_region_seqstates_kmer_encoding():
     from scrappie_tpu.api import encode_bases
 
