@@ -51,11 +51,26 @@ def main():
     ap.add_argument("--train-reads", type=int, nargs="*", default=None)
     ap.add_argument("--eval-reads", type=int, nargs="*", default=None)
     ap.add_argument("--eval-every", type=int, default=30)
-    ap.add_argument("--eval-whole", action="store_true", default=True)
+    ap.add_argument("--eval-tails", action="store_true", default=False,
+                    help="select checkpoints on the strictly-held-out "
+                         "read tails instead of whole reads (whole-read "
+                         "eval includes the 75%% training region, so "
+                         "checkpoint selection on it rewards "
+                         "memorisation — measured round 4)")
     ap.add_argument("--sim-every", type=int, default=4,
                     help="every N steps add one simulated window lattice "
                          "step (0 = off)")
     ap.add_argument("--pseudo-ch228", action="store_true", default=False)
+    ap.add_argument("--augment", action="store_true", default=False,
+                    help="shape-preserving per-step region augmentation "
+                         "(raw models only): random gain/offset/noise on "
+                         "the region signal, plus random stride-aligned "
+                         "crops with -1-padded kmer states.  Fights "
+                         "3-region memorisation (round-4 tail probes) "
+                         "without retracing jit shapes")
+    ap.add_argument("--crop-frac", type=float, default=0.75,
+                    help="crop length as a fraction of the full region "
+                         "(with --augment)")
     ap.add_argument("--init", default=None)
     ap.add_argument("--save", default=None)
     ap.add_argument("--seed", type=int, default=0)
@@ -101,7 +116,7 @@ def main():
             print(f"[{r.name}] region {len(feats)} events, "
                   f"{len(states)} kmer states", flush=True)
             regions.append((feats[None], states[None, :]))
-    else:
+    elif not args.augment:
         for r in train_pool:
             frac = 1.0 if r.name == "ch228_pseudo" else 0.75
             sig, states = wholeread.region_seqstates(
@@ -110,6 +125,53 @@ def main():
                   f"{len(sig)//spec.stride} blocks, {len(states)} kmer states",
                   flush=True)
             regions.append((sig[None, :, None], states[None, :]))
+
+    aug = None
+    if args.augment and not is_events:
+        # Per-step crops + gain/offset/noise, fixed jit shapes per read:
+        # crop length tc is constant, kmer states pad to the full
+        # region's span (lattice masks -1).  Crop starts need no stride
+        # alignment — the states are alignment-free.
+        from scrappie_tpu.train.realdata import _rolling_kmers
+        from scrappie_tpu.models.specs import KMER_LEN
+
+        rng_aug = np.random.default_rng(args.seed + 7)
+        aug = []
+        for r in train_pool:
+            frac = 1.0 if r.name == "ch228_pseudo" else 0.75
+            train_end = int(r.nsample * frac)
+            unit = spec.stride * args.chunk
+            tc = int(train_end * args.crop_frac) // unit * unit
+            if not tc:
+                raise ValueError(f"{r.name}: region too short to crop")
+            ba_all = r.base_at[:train_end]
+            v = ba_all[ba_all >= 0]
+            lmax = max(int(v.max()) - int(v.min()) - (KMER_LEN - 2), 1)
+            aug.append(dict(norm=r.norm, base_at=r.base_at,
+                            kmers=_rolling_kmers(r.bases),
+                            train_end=train_end, tc=tc, lmax=lmax))
+            print(f"[{r.name}] augmented crops: {tc} samples "
+                  f"({tc//spec.stride} blocks) from {train_end}, "
+                  f"states pad {lmax}", flush=True)
+
+        def aug_region(d):
+            hi0 = d["train_end"] - d["tc"]
+            s0 = int(rng_aug.integers(hi0 + 1)) if hi0 > 0 else 0
+            sig = d["norm"][s0 : s0 + d["tc"]].astype(np.float32)
+            sig = sig * (1.0 + 0.06 * rng_aug.standard_normal())
+            sig = sig + 0.08 * rng_aug.standard_normal()
+            sig = sig + (0.12 * rng_aug.standard_normal(len(sig))
+                         ).astype(np.float32)
+            ba = d["base_at"][s0 : s0 + d["tc"]]
+            v = ba[ba >= 0]
+            states = np.full(d["lmax"], -1, np.int32)
+            if len(v):
+                lo, hi_b = int(v.min()), int(v.max())
+                # kmers END at lo+KMER_LEN-1 .. hi_b
+                ks = d["kmers"][lo + KMER_LEN - 1 : hi_b + 1]
+                ks = ks[: d["lmax"]]
+                states[: len(ks)] = ks
+            return sig[None, :, None], states[None]
 
     optimizer = optax.apply_if_finite(
         optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr)),
@@ -149,7 +211,7 @@ def main():
 
     def run_eval(tag):
         ident = eval_real(args.model, params, eval_sampler, eval_idxs,
-                          whole=args.eval_whole)
+                          whole=not args.eval_tails)
         print(f"[{tag}] held-out identity {ident:.4f}", flush=True)
         return ident
 
@@ -160,7 +222,10 @@ def main():
     best = (-1.0, None)
     t0 = time.time()
     for i in range(args.steps):
-        sig, states = regions[i % len(regions)]
+        if aug is not None:
+            sig, states = aug_region(aug[i % len(aug)])
+        else:
+            sig, states = regions[i % len(regions)]
         params, opt_state, loss = step_fn(params, opt_state,
                                           jnp.asarray(sig),
                                           jnp.asarray(states))
