@@ -198,6 +198,10 @@ def main():
         print(f"[{tag}] held-out identity {ident:.4f}", flush=True)
         return ident, p
 
+    save = args.save or os.path.join(
+        os.path.dirname(__file__), "..", ".cache",
+        f"wholeread_{args.mode}.npz")
+
     best = (-1.0, None)
     t0 = time.time()
     for i in range(args.steps):
@@ -221,6 +225,11 @@ def main():
             ident, p = run_eval(f"step {i}")
             if np.isfinite(ident) and ident > best[0]:
                 best = (ident, {k: np.asarray(v) for k, v in p.items()})
+                # Checkpoint immediately: long runs have been lost to
+                # session interrupts (transducer trainer, round 4).
+                np.savez_compressed(save, **best[1])
+                print(f"checkpointed best ({ident:.4f}) -> {save}",
+                      flush=True)
 
     ident, p = run_eval("final")
     if np.isfinite(ident) and ident > best[0]:
@@ -231,9 +240,6 @@ def main():
                                  for k, v in best[1].items()})
         print(f"best held-out {best[0]:.4f}, sim identity {simid:.4f}",
               flush=True)
-        save = args.save or os.path.join(
-            os.path.dirname(__file__), "..", ".cache",
-            f"wholeread_{args.mode}.npz")
         np.savez_compressed(save, **best[1])
         print(f"saved -> {save}", flush=True)
 
