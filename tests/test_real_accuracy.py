@@ -58,6 +58,51 @@ def test_events_real_read_identity(truth_pairs):
     assert ident >= 0.77, f"events identity {ident:.3f} below floor"
 
 
+def test_rnnrf_tail_generalisation_floor():
+    """Strict held-out-tail floor for the round-4 rnnrf weights.
+
+    The whole-read floors above mix the training region into their
+    metric (the bundled reads' heads were training data for every
+    shipped weight set).  The round-4 rnnrf ship is the one whose gain
+    was CONFIRMED on the strictly-held-out tails — 0.6449 mean tail
+    identity vs 0.6287 for the round-3 weights (BASELINE.md
+    "Whole-region training ... refuted on strict held-out tails") —
+    and this floor (0.01 under the measured value, same convention as
+    FLOORS) protects that generalisation, not just the memorised
+    whole-read score.
+    """
+    import jax.numpy as jnp
+
+    from scrappie_tpu.decode.crf import crfpath_to_basecall, decode_crf
+    from scrappie_tpu.models import forward, registry
+    from scrappie_tpu.models.specs import RAW_MODELS
+    from scrappie_tpu.train.realdata import (RealReadSampler,
+                                             load_labelled_reads)
+
+    spec = RAW_MODELS["rnnrf_r94"]
+    params = {k: jnp.asarray(v)
+              for k, v in registry.load_params("rnnrf_r94").items()}
+    sampler = RealReadSampler(load_labelled_reads("rgrgr_r94"), seed=0)
+
+    idents = []
+    for ridx in range(len(sampler.reads)):
+        sig, truth = sampler.eval_segment(ridx)
+        if not truth:
+            continue
+        nuse = (len(sig) // spec.stride) * spec.stride
+        trans = np.asarray(forward.rnnrf_transitions(
+            params, jnp.asarray(sig[:nuse], jnp.float32)[None, :, None],
+            conv_activation=spec.conv_activation, stride=spec.stride))[0]
+        _, path = decode_crf(trans[None])
+        call = crfpath_to_basecall(np.asarray(path)[0]) or ""
+        idents.append(identity(call, truth))
+    assert idents, "no labelled tails"
+    mean_ident = float(np.mean(idents))
+    assert mean_ident >= 0.635, (
+        f"rnnrf tail identity {mean_ident:.4f} below floor 0.635 — the "
+        f"shipped weights' tail generalisation regressed")
+
+
 @pytest.mark.parametrize("model", sorted(FLOORS))
 def test_real_read_identity(truth_pairs, model):
     from scrappie_tpu.parallel.runner import BasecallEngine
