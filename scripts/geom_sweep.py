@@ -30,9 +30,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--warmup", type=int, default=2)
-    ap.add_argument("--geoms", default="256x10000x8,512x10000x4,"
-                    "128x10000x16,256x20000x4,512x20000x2,1024x10000x2")
+    ap.add_argument("--pipeline", choices=["raw", "events"], default="raw",
+                    help="raw = flagship rgrgr_r94 fused pipeline on "
+                         "[B, chunk, 1] signal; events = nanonet_events "
+                         "fused pipeline on [B, chunk, 4] event features "
+                         "(chunk = events, throughput in events/s)")
+    ap.add_argument("--geoms", default=None)
     args = ap.parse_args()
+    if args.geoms is None:
+        args.geoms = ("256x2048x8,512x2048x4,1024x2048x2,256x4096x4,"
+                      "512x4096x2,128x2048x16"
+                      if args.pipeline == "events" else
+                      "256x10000x8,512x10000x4,128x10000x16,256x20000x4,"
+                      "512x20000x2,1024x10000x2")
 
     import jax
     import jax.numpy as jnp
@@ -40,25 +50,39 @@ def main():
     from scrappie_tpu.models import registry
     from scrappie_tpu.models.specs import RAW_MODELS
     from scrappie_tpu.nn import config as nn_config
-    from scrappie_tpu.ops.pipeline import rgrgr_basecall_fused
+    from scrappie_tpu.ops.pipeline import (events_basecall_fused,
+                                           rgrgr_basecall_fused)
 
-    spec = RAW_MODELS["rgrgr_r94"]
-    params = {k: jnp.asarray(v)
-              for k, v in registry.load_params("rgrgr_r94").items()}
+    if args.pipeline == "events":
+        params = {k: jnp.asarray(v)
+                  for k, v in registry.load_params("nanonet_events").items()}
 
-    @functools.partial(jax.jit, static_argnames=("prec_name",))
-    def pipeline(params, sigs, prec_name="default"):
-        return jax.lax.map(
-            lambda s: rgrgr_basecall_fused(
-                params, s, conv_activation=spec.conv_activation,
-                stride=spec.stride, prec_name=prec_name),
-            sigs)
+        @functools.partial(jax.jit, static_argnames=("prec_name",))
+        def pipeline(params, feats, prec_name="default"):
+            return jax.lax.map(
+                lambda f: events_basecall_fused(params, f,
+                                                prec_name=prec_name),
+                feats)
+    else:
+        spec = RAW_MODELS["rgrgr_r94"]
+        params = {k: jnp.asarray(v)
+                  for k, v in registry.load_params("rgrgr_r94").items()}
 
+        @functools.partial(jax.jit, static_argnames=("prec_name",))
+        def pipeline(params, sigs, prec_name="default"):
+            return jax.lax.map(
+                lambda s: rgrgr_basecall_fused(
+                    params, s, conv_activation=spec.conv_activation,
+                    stride=spec.stride, prec_name=prec_name),
+                sigs)
+
+    feat_dim = 4 if args.pipeline == "events" else 1
+    unit = "events/s" if args.pipeline == "events" else "samples/s"
     rng = np.random.default_rng(0)
     for g in args.geoms.split(","):
         batch, chunk, groups = (int(x) for x in g.split("x"))
         sigs = jnp.asarray(
-            rng.standard_normal((groups, batch, chunk, 1)),
+            rng.standard_normal((groups, batch, chunk, feat_dim)),
             dtype=jnp.float32)
         with nn_config.precision("default"):
             try:
@@ -72,7 +96,7 @@ def main():
                     np.asarray(score.ravel()[0])
                     times.append(time.perf_counter() - t0)
                 sps = groups * batch * chunk / min(times)
-                print(f"{g}: {sps/1e6:.1f}M samples/s "
+                print(f"{g}: {sps/1e6:.1f}M {unit} "
                       f"(best of {args.iters})", flush=True)
             except Exception as e:  # OOM etc. — record and continue
                 print(f"{g}: FAILED {type(e).__name__}: {str(e)[:120]}",
