@@ -135,6 +135,17 @@ def build_parser():
                           "quality stream; posterior-mean homopolymer "
                           "correction (+0.0003 identity, BASELINE.md) is "
                           "stitch-mode only")
+    raw.add_argument("--ensemble", default=None, metavar="MODELS",
+                     help="Comma-separated extra transducer models whose "
+                          "posteriors are geometrically averaged with "
+                          "--model's before decoding (stitch mode only; "
+                          "strides must match).  Measured on the bundled "
+                          "reads' held-out tails: rgrgr_r941,rgrgr_r10 "
+                          "lifts identity +0.008 at ~2x device cost "
+                          "(BASELINE.md 'Posterior ensembling')")
+    raw.add_argument("--ensemble-weights", default=None, metavar="W,W,...",
+                     help="Per-model ensemble weights, --model first "
+                          "(default 3:1:...:1)")
     raw.add_argument("--profile", default=None, metavar="DIR",
                      help="Capture a JAX profiler (XPlane) trace to DIR")
     raw.add_argument("--stage-report", action="store_true", default=False,
@@ -250,10 +261,14 @@ def main_raw(args) -> int:
     from scrappie_tpu.utils.tracing import profile
 
     batch = max(args.batch, args.threads or 0)  # --threads ~ read-level parallelism
+    ensemble = tuple(m for m in (args.ensemble or "").split(",") if m)
+    ens_weights = (tuple(float(w) for w in args.ensemble_weights.split(","))
+                   if args.ensemble_weights else None)
     engine = BasecallEngine(args.model, chunk_len=args.chunk_len, overlap=args.overlap,
                             batch_size=batch, min_prob=args.min_prob,
                             tempW=args.temperature1, tempb=args.temperature2,
-                            mode="fast" if args.fast else "stitch")
+                            mode="fast" if args.fast else "stitch",
+                            ensemble=ensemble, ensemble_weights=ens_weights)
     call_kwargs = dict(
         trim_start=args.trim[0], trim_end=args.trim[1],
         varseg_chunk=args.segmentation[0], varseg_thresh=args.segmentation[1],

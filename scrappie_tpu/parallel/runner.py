@@ -111,7 +111,9 @@ class BasecallEngine:
                  overlap: int | None = None, batch_size: int = 8, mesh=None,
                  min_prob: float = 1e-5, tempW: float = 1.0, tempb: float = 1.0,
                  decode_bucket: int = 1024, mode: str = "stitch",
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2,
+                 ensemble: tuple[str, ...] = (),
+                 ensemble_weights: tuple[float, ...] | None = None):
         """mode:
           'stitch' — stitch chunk posteriors into whole-read matrices and
             decode once per read (exact: chunked == unchunked basecall).
@@ -129,6 +131,20 @@ class BasecallEngine:
           blocks on results (JAX dispatch is async, so depth 2 =
           classic double buffering: the host builds/stitches group k+1
           while the device crunches group k).  1 = fully synchronous.
+
+        ensemble: extra transducer models whose per-block posteriors
+          are geometrically averaged (weighted log-domain mean,
+          renormalised per block) with the primary model's before
+          decoding — stitch mode only; every member must share the
+          primary's stride and state space (the block grids must
+          align).  Measured on the bundled reads' strictly-held-out
+          tails (BASELINE.md "Posterior ensembling"): rgrgr_r94 +
+          rgrgr_r941 + rgrgr_r10 at 3:1:1 lifts tail identity
+          0.7084 -> 0.7159, improving both reads, at ~2x device cost.
+          The reference has no analogue (one network per call,
+          ref src/scrappie_raw.c:199-210).
+        ensemble_weights: per-model weights, primary first, default
+          (3, 1, ..., 1); normalised internally.
         """
         self.model = model
         if model == EVENTS_MODEL.name:
@@ -166,22 +182,69 @@ class BasecallEngine:
         self._batch_sharding = batch_sharding(self.mesh)
 
         spec = self.spec
-        kwargs = dict(stride=spec.stride, min_prob=min_prob, tempW=tempW,
-                      tempb=tempb, return_log=True)
-        if spec.kind == "rgrgr":
-            fn = functools.partial(forward.rgrgr_posterior,
-                                   conv_activation=spec.conv_activation, **kwargs)
-        elif spec.kind == "rnnrf":
-            fn = functools.partial(forward.rnnrf_transitions,
-                                   conv_activation=spec.conv_activation,
-                                   stride=spec.stride)
-        elif spec.kind == "events":
-            fn = functools.partial(forward.events_posterior,
-                                   winlen=spec.winlen, min_prob=min_prob,
-                                   tempW=tempW, tempb=tempb, return_log=True)
+
+        def _forward_fn(mspec):
+            kwargs = dict(stride=mspec.stride, min_prob=min_prob,
+                          tempW=tempW, tempb=tempb, return_log=True)
+            if mspec.kind == "rgrgr":
+                return functools.partial(
+                    forward.rgrgr_posterior,
+                    conv_activation=mspec.conv_activation, **kwargs)
+            if mspec.kind == "rnnrf":
+                return functools.partial(
+                    forward.rnnrf_transitions,
+                    conv_activation=mspec.conv_activation,
+                    stride=mspec.stride)
+            if mspec.kind == "events":
+                return functools.partial(
+                    forward.events_posterior, winlen=mspec.winlen,
+                    min_prob=min_prob, tempW=tempW, tempb=tempb,
+                    return_log=True)
+            return functools.partial(forward.raw_posterior, **kwargs)
+
+        fn = _forward_fn(spec)
+        if ensemble:
+            if mode != "stitch":
+                raise ValueError("ensemble decoding is stitch-mode only "
+                                 "(the fused kernels are single-model)")
+            if spec.kind not in ("rgrgr", "raw"):
+                raise ValueError("ensemble decoding needs per-block "
+                                 "normalised transducer posteriors "
+                                 f"(primary model kind {spec.kind!r})")
+            mspecs = [RAW_MODELS[m] for m in ensemble]
+            for m, ms in zip(ensemble, mspecs):
+                if ms.kind not in ("rgrgr", "raw") or \
+                        ms.stride != spec.stride or \
+                        ms.nstate != spec.nstate:
+                    raise ValueError(
+                        f"ensemble member {m}: kind/stride/nstate "
+                        f"({ms.kind}, {ms.stride}, {ms.nstate}) must match "
+                        f"the primary's ({spec.kind}, {spec.stride}, "
+                        f"{spec.nstate}) — the block grids must align")
+            if ensemble_weights is None:
+                ensemble_weights = (3.0,) + (1.0,) * len(ensemble)
+            if len(ensemble_weights) != 1 + len(ensemble):
+                raise ValueError("need one weight per model, primary first")
+            w = np.asarray(ensemble_weights, np.float32)
+            w = w / w.sum()
+            member_fns = [_forward_fn(ms) for ms in mspecs]
+            self._ens_params = tuple(
+                shard_params(registry.load_params(m), self.mesh,
+                             state_shard_keys=("FF_W", "FF3_W"))
+                for m in ensemble)
+
+            def _combined(ps, x):
+                lp = w[0] * fn(ps[0], x)
+                for wi, f, p in zip(w[1:], member_fns, ps[1:]):
+                    lp = lp + wi * f(p, x)
+                return lp - jax.scipy.special.logsumexp(
+                    lp, axis=-1, keepdims=True)
+
+            jitted = jax.jit(_combined)
+            self._posterior = lambda p, x: jitted((p,) + self._ens_params, x)
         else:
-            fn = functools.partial(forward.raw_posterior, **kwargs)
-        self._posterior = jax.jit(lambda p, x: fn(p, x))
+            self._posterior = jax.jit(lambda p, x: fn(p, x))
+        self.ensemble = tuple(ensemble)
         from scrappie_tpu.utils.tracing import Stage
 
         self.stage = Stage()  # wall-clock accounting per pipeline stage

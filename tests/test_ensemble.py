@@ -1,0 +1,74 @@
+"""Posterior-ensemble decoding (round 4).
+
+BasecallEngine(ensemble=...) geometrically averages the per-block log
+posteriors of grid-aligned transducer models before decoding (weighted
+log-domain mean, renormalised per block) — measured +0.0075 identity
+on the bundled reads' strictly-held-out tails (BASELINE.md "Posterior
+ensembling").  These tests pin the combination maths to a manual
+composition and the constructor's grid/mode validation.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+
+def test_ensemble_posterior_matches_manual_composition():
+    from scrappie_tpu.models import forward, registry
+    from scrappie_tpu.models.specs import RAW_MODELS
+    from scrappie_tpu.parallel.runner import BasecallEngine
+
+    eng = BasecallEngine("rgrgr_r94", batch_size=8,
+                         ensemble=("rgrgr_r941", "rgrgr_r10"),
+                         ensemble_weights=(3.0, 1.0, 1.0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 200, 1)), jnp.float32)
+
+    got = np.asarray(eng._posterior(eng.params, x))
+
+    lps = []
+    for m in ("rgrgr_r94", "rgrgr_r941", "rgrgr_r10"):
+        spec = RAW_MODELS[m]
+        params = {k: jnp.asarray(v)
+                  for k, v in registry.load_params(m).items()}
+        lps.append(np.asarray(forward.rgrgr_posterior(
+            params, x, conv_activation=spec.conv_activation,
+            stride=spec.stride, min_prob=1e-5, return_log=True)))
+    w = np.array([3.0, 1.0, 1.0]); w /= w.sum()
+    lp = sum(wi * l for wi, l in zip(w, lps))
+    want = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # renormalised: rows are distributions again
+    np.testing.assert_allclose(np.exp(got).sum(-1), 1.0, atol=1e-4)
+
+
+def test_ensemble_default_weights_favour_primary():
+    from scrappie_tpu.parallel.runner import BasecallEngine
+
+    eng3 = BasecallEngine("rgrgr_r94", batch_size=8,
+                          ensemble=("rgrgr_r941", "rgrgr_r10"))
+    eng_explicit = BasecallEngine("rgrgr_r94", batch_size=8,
+                                  ensemble=("rgrgr_r941", "rgrgr_r10"),
+                                  ensemble_weights=(3.0, 1.0, 1.0))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 100, 1)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(eng3._posterior(eng3.params, x)),
+        np.asarray(eng_explicit._posterior(eng_explicit.params, x)))
+
+
+def test_ensemble_rejects_bad_configs():
+    from scrappie_tpu.parallel.runner import BasecallEngine
+
+    with pytest.raises(ValueError, match="stitch-mode only"):
+        BasecallEngine("rgrgr_r94", mode="fast", ensemble=("rgrgr_r10",))
+    with pytest.raises(ValueError, match="block grids must align"):
+        BasecallEngine("rgrgr_r94", ensemble=("raw_r94",))  # stride 4 vs 5
+    with pytest.raises(ValueError, match="transducer"):
+        BasecallEngine("rnnrf_r94", ensemble=("rgrgr_r10",))
+    with pytest.raises(ValueError, match="one weight per model"):
+        BasecallEngine("rgrgr_r94", ensemble=("rgrgr_r10",),
+                       ensemble_weights=(1.0,))

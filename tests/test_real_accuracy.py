@@ -103,6 +103,45 @@ def test_rnnrf_tail_generalisation_floor():
         f"shipped weights' tail generalisation regressed")
 
 
+def test_ensemble_tail_identity_floor():
+    """The 3:1:1 rgrgr ensemble's held-out-tail gain (BASELINE.md
+    "Posterior ensembling": 0.7159 vs 0.7084 single-model, both reads
+    improved) — floor 0.705, same 0.01-under convention as FLOORS."""
+    import jax.numpy as jnp
+
+    from scrappie_tpu.decode.transducer import decode_transducer
+    from scrappie_tpu.models import forward, registry
+    from scrappie_tpu.models.specs import RAW_MODELS
+    from scrappie_tpu.post.overlapper import overlapper
+    from scrappie_tpu.train.realdata import (RealReadSampler,
+                                             load_labelled_reads)
+
+    models = ["rgrgr_r94", "rgrgr_r941", "rgrgr_r10"]
+    w = np.array([3.0, 1.0, 1.0]); w /= w.sum()
+    params = {m: {k: jnp.asarray(v)
+                  for k, v in registry.load_params(m).items()}
+              for m in models}
+    sampler = RealReadSampler(load_labelled_reads("rgrgr_r94"), seed=0)
+
+    idents = []
+    for ridx in range(len(sampler.reads)):
+        sig, truth = sampler.eval_segment(ridx)
+        if not truth:
+            continue
+        n = (len(sig) // 5) * 5
+        x = jnp.asarray(sig[:n], jnp.float32)[None, :, None]
+        lp = sum(wi * np.asarray(forward.rgrgr_posterior(
+            params[m], x, conv_activation=RAW_MODELS[m].conv_activation,
+            stride=5, return_log=True))[0]
+            for wi, m in zip(w, models))
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        _, path = decode_transducer(lp, 0.0, 0.0, 2.0)
+        idents.append(identity(overlapper(path, 1024) or "", truth))
+    mean_ident = float(np.mean(idents))
+    assert mean_ident >= 0.705, (
+        f"ensemble tail identity {mean_ident:.4f} below floor 0.705")
+
+
 @pytest.mark.parametrize("model", sorted(FLOORS))
 def test_real_read_identity(truth_pairs, model):
     from scrappie_tpu.parallel.runner import BasecallEngine
