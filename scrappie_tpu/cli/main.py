@@ -237,6 +237,11 @@ def build_parser():
                     help="Max reads coalesced into one engine call")
     sv.add_argument("--max-wait-ms", type=float, default=25.0,
                     help="Max wait for co-batched requests")
+    sv.add_argument("--ensemble", default=None, metavar="MODELS",
+                    help="Posterior-ensemble members for the DEFAULT "
+                         "model's service (see `raw --ensemble`); "
+                         "requests routed to other models use those "
+                         "models alone")
 
     sub.add_parser("version", help="print version")
     sub.add_parser("licence", help="print licensing information")
@@ -609,7 +614,8 @@ def main_serve(args) -> int:
     serve(args.host, args.port, model=args.model,
           max_batch_reads=args.max_batch_reads, max_wait_ms=args.max_wait_ms,
           batch_size=args.batch, chunk_len=args.chunk_len,
-          overlap=args.overlap)
+          overlap=args.overlap,
+          ensemble=tuple(m for m in (args.ensemble or "").split(",") if m))
     return 0
 
 

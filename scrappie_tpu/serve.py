@@ -364,6 +364,11 @@ class _Server(socketserver.ThreadingTCPServer):
         with self._ss_lock:
             if model not in self._model_services:
                 kwargs = dict(self._service_kwargs, model=model)
+                # Ensemble membership is validated against the DEFAULT
+                # model's grid; a request routed to another model uses
+                # that model alone.
+                kwargs.pop("ensemble", None)
+                kwargs.pop("ensemble_weights", None)
                 if model == EVENTS_MODEL.name:
                     # chunk geometry is in EVENTS for the events engine;
                     # the server's sample-based --chunk-len/--overlap
