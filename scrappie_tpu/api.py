@@ -204,13 +204,18 @@ def decode_post(post: Posterior, model: str = "rgrgr_r94", **kwargs):
 
 
 def basecall_raw(data, model: str = "rgrgr_r94", with_base_probs: bool = False,
-                 calibration: str = "reference", **kwargs):
+                 calibration: str = "reference",
+                 ensemble: tuple[str, ...] = (),
+                 ensemble_weights: tuple[float, ...] | None = None, **kwargs):
     """Trim, scale, run the network, decode — one read end to end.
 
     Returns (sequence, score, block positions, trim start, trim end,
     base probs or None); ref basecall_raw, python/scrappy/__init__.py:403-430.
     ``calibration="real"`` fills the measured real-read decode preset
     (models/calibration.py) for any knob not passed explicitly.
+    ``ensemble`` decodes a weighted geometric mean of grid-aligned
+    transducer models' posteriors (BASELINE.md "Posterior ensembling";
+    same semantics/validation as BasecallEngine(ensemble=...)).
     """
     if with_base_probs and model != "rnnrf_r94":
         raise ValueError("Base probabilities can only be returned for model 'rnnrf_r94'.")
@@ -225,6 +230,28 @@ def basecall_raw(data, model: str = "rgrgr_r94", with_base_probs: bool = False,
     raw = RawTable(data)
     raw.trim().scale()
     post = calc_post(raw, model, log=True)
+    if ensemble:
+        spec = RAW_MODELS[model]
+        if spec.kind not in ("rgrgr", "raw"):
+            raise ValueError("ensemble decoding needs per-block normalised "
+                             f"transducer posteriors (model kind {spec.kind!r})")
+        for m in ensemble:
+            ms = RAW_MODELS[m]
+            if ms.kind not in ("rgrgr", "raw") or ms.stride != spec.stride \
+                    or ms.nstate != spec.nstate:
+                raise ValueError(f"ensemble member {m}: the block grids "
+                                 "must align with the primary model's")
+        if ensemble_weights is None:
+            ensemble_weights = (3.0,) + (1.0,) * len(ensemble)
+        if len(ensemble_weights) != 1 + len(ensemble):
+            raise ValueError("need one weight per model, primary first")
+        w = np.asarray(ensemble_weights, np.float64)
+        w = w / w.sum()
+        lp = w[0] * post.data()
+        for wi, m in zip(w[1:], ensemble):
+            lp = lp + wi * calc_post(raw, m, log=True).data()
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        post = Posterior(lp.astype(np.float32), model)
     seq, score, pos = decode_post(post, model, **kwargs)
 
     base_probs = None

@@ -60,6 +60,35 @@ def test_ensemble_default_weights_favour_primary():
         np.asarray(eng_explicit._posterior(eng_explicit.params, x)))
 
 
+def test_api_ensemble_posterior_combination():
+    """api.basecall_raw(ensemble=...) combines the same way the engine
+    does and validates grid alignment."""
+    from scrappie_tpu import api
+
+    rng = np.random.default_rng(2)
+    # squiggle-like step signal (plain noise trims/decodes to nothing)
+    sig = (np.repeat(rng.normal(90.0, 15.0, 80), 40)
+           + rng.standard_normal(3200) * 2.0).astype(np.float32)
+    raw = api.RawTable(sig).trim().scale()
+    lp1 = api.calc_post(raw, "rgrgr_r94", log=True).data()
+    lp2 = api.calc_post(raw, "rgrgr_r10", log=True).data()
+    lp = 0.75 * lp1 + 0.25 * lp2
+    want = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+
+    seq, score, pos, *_ = api.basecall_raw(
+        sig, ensemble=("rgrgr_r10",), ensemble_weights=(3.0, 1.0))
+    from scrappie_tpu.decode.transducer import decode_transducer
+    from scrappie_tpu.post.overlapper import overlapper
+
+    wscore, wpath = decode_transducer(want, 0.0, 0.0, 2.0)
+    want_seq = overlapper(wpath, 1024) or ""
+    assert want_seq, "step signal should decode to some bases"
+    assert (seq or "") == want_seq
+
+    with pytest.raises(ValueError, match="grids must align"):
+        api.basecall_raw(sig, ensemble=("raw_r94",))
+
+
 def test_ensemble_rejects_bad_configs():
     from scrappie_tpu.parallel.runner import BasecallEngine
 
