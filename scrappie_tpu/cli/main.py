@@ -135,6 +135,13 @@ def build_parser():
                           "quality stream; posterior-mean homopolymer "
                           "correction (+0.0003 identity, BASELINE.md) is "
                           "stitch-mode only")
+    raw.add_argument("--qual-calibration", default="raw",
+                     choices=["raw", "real"],
+                     help="FASTQ qualities: 'raw' = posterior-derived "
+                          "proxy; 'real' = measured linear Phred "
+                          "recalibration so Q values match empirical "
+                          "error rates (BASELINE.md 'Quality "
+                          "calibration')")
     raw.add_argument("--ensemble", default=None, metavar="MODELS",
                      help="Comma-separated extra transducer models whose "
                           "posteriors are geometrically averaged with "
@@ -167,6 +174,10 @@ def build_parser():
     ev.add_argument("--overlap", type=int, default=256,
                     help="Chunk overlap in events")
     ev.add_argument("--batch", type=int, default=8, help="Device batch size")
+    ev.add_argument("--qual-calibration", default="raw",
+                    choices=["raw", "real"],
+                    help="FASTQ qualities: 'raw' proxy or the measured "
+                         "'real' Phred recalibration (BASELINE.md)")
     ev.add_argument("--fast", action="store_true", default=False,
                     help="Fused per-chunk decode + path stitching (TPU; "
                          "dwell correction still applies)")
@@ -273,7 +284,8 @@ def main_raw(args) -> int:
                             batch_size=batch, min_prob=args.min_prob,
                             tempW=args.temperature1, tempb=args.temperature2,
                             mode="fast" if args.fast else "stitch",
-                            ensemble=ensemble, ensemble_weights=ens_weights)
+                            ensemble=ensemble, ensemble_weights=ens_weights,
+                            qual_calibration=args.qual_calibration)
     call_kwargs = dict(
         trim_start=args.trim[0], trim_end=args.trim[1],
         varseg_chunk=args.segmentation[0], varseg_thresh=args.segmentation[1],
@@ -397,7 +409,8 @@ def main_events(args) -> int:
                             overlap=args.overlap, batch_size=batch,
                             min_prob=args.min_prob, tempW=args.temperature1,
                             tempb=args.temperature2,
-                            mode="fast" if args.fast else "stitch")
+                            mode="fast" if args.fast else "stitch",
+                            qual_calibration=args.qual_calibration)
     call_kwargs = dict(
         trim_start=args.trim[0], trim_end=args.trim[1],
         varseg_chunk=args.segmentation[0], varseg_thresh=args.segmentation[1],

@@ -113,7 +113,8 @@ class BasecallEngine:
                  decode_bucket: int = 1024, mode: str = "stitch",
                  pipeline_depth: int = 2,
                  ensemble: tuple[str, ...] = (),
-                 ensemble_weights: tuple[float, ...] | None = None):
+                 ensemble_weights: tuple[float, ...] | None = None,
+                 qual_calibration: str = "raw"):
         """mode:
           'stitch' — stitch chunk posteriors into whole-read matrices and
             decode once per read (exact: chunked == unchunked basecall).
@@ -145,6 +146,12 @@ class BasecallEngine:
           ref src/scrappie_raw.c:199-210).
         ensemble_weights: per-model weights, primary first, default
           (3, 1, ..., 1); normalised internally.
+
+        qual_calibration: 'raw' (default) emits the posterior-derived
+          Phred proxies as-is; 'real' applies the measured linear
+          Phred-space recalibration (post/quality.QUAL_RECAL, fitted
+          on the bundled truth reads) so downstream tools see Q values
+          that match empirical error rates.
         """
         self.model = model
         if model == EVENTS_MODEL.name:
@@ -245,6 +252,17 @@ class BasecallEngine:
         else:
             self._posterior = jax.jit(lambda p, x: fn(p, x))
         self.ensemble = tuple(ensemble)
+
+        if qual_calibration not in ("raw", "real"):
+            raise ValueError(f"unknown qual_calibration {qual_calibration!r}")
+        if qual_calibration == "real":
+            from scrappie_tpu.post.quality import QUAL_RECAL
+
+            if self.model not in QUAL_RECAL:
+                raise ValueError(f"no measured quality recalibration for "
+                                 f"{self.model!r} (post/quality.QUAL_RECAL; "
+                                 f"fit one with scripts/quality_calibration.py)")
+        self.qual_calibration = qual_calibration
         from scrappie_tpu.utils.tracing import Stage
 
         self.stage = Stage()  # wall-clock accounting per pipeline stage
@@ -509,6 +527,14 @@ class BasecallEngine:
                 results[g] = (float(scores[j]), paths[j, : nb + 1].copy())
         return results
 
+    def _maybe_recal(self, qual: str | None) -> str | None:
+        """Apply the measured Phred recalibration when enabled."""
+        if qual is None or self.qual_calibration != "real":
+            return qual
+        from scrappie_tpu.post.quality import recalibrate_phred
+
+        return recalibrate_phred(qual, self.model)
+
     def _assemble_events(self, rt, et, path, score, dwell_correction,
                          lp=None, qual_stream=None,
                          with_qualities: bool = False) -> ReadResult:
@@ -532,11 +558,12 @@ class BasecallEngine:
         if with_qualities and seq and lp is not None:
             from scrappie_tpu.post.quality import transducer_qualities
 
-            qual = transducer_qualities(lp, emit)
+            qual = self._maybe_recal(transducer_qualities(lp, emit))
         elif with_qualities and seq and qual_stream is not None:
             from scrappie_tpu.post.quality import qualities_from_stream
 
-            qual = qualities_from_stream(np.asarray(qual_stream)[:nev], emit)
+            qual = self._maybe_recal(
+                qualities_from_stream(np.asarray(qual_stream)[:nev], emit))
         if dwell_correction and seq is not None:
             active = et.active[:nev]
             new = homopolymer_dwell_correction(
@@ -721,7 +748,8 @@ class BasecallEngine:
                             qualities_from_stream,
                         )
 
-                        qual = qualities_from_stream(qstream, path)
+                        qual = self._maybe_recal(
+                            qualities_from_stream(qstream, path))
                 results.append(ReadResult(rt.uuid, seq, score, nblock, pos,
                                           rt.start, rt.end, rt.n, qual))
             return results
@@ -819,7 +847,8 @@ class BasecallEngine:
                     from scrappie_tpu.decode.crf import posterior_crf
                     from scrappie_tpu.post.quality import crf_qualities
 
-                    qual = crf_qualities(posterior_crf(lp), path[: nblock + 1])
+                    qual = self._maybe_recal(
+                        crf_qualities(posterior_crf(lp), path[: nblock + 1]))
             else:
                 path = np.asarray(path).copy()
                 if homopolymer is not None:
@@ -830,7 +859,7 @@ class BasecallEngine:
                 if with_qualities and seq:
                     from scrappie_tpu.post.quality import transducer_qualities
 
-                    qual = transducer_qualities(lp, path)
+                    qual = self._maybe_recal(transducer_qualities(lp, path))
             results.append(ReadResult(rt.uuid, seq, score, nblock, pos,
                                       rt.start, rt.end, rt.n, qual))
         return results

@@ -33,6 +33,35 @@ from scrappie_tpu.post.overlapper import (
 
 _MIN_ERR = 1e-6  # Phred cap: Q60
 
+#: Measured linear quality recalibration (Phred space): empirical Q ~=
+#: a * predicted Q + b, least-squares over 4-wide Q bins on the bundled
+#: truth reads (scripts/quality_calibration.py, 2026-08-20; ~13k scored
+#: bases per model).  The raw proxies are MONOTONE but mis-calibrated —
+#: e.g. rgrgr_r94 predicted Q20-23 is empirically Q11.7 — and the fit
+#: is remarkably consistent across all six models (slope 0.21-0.29,
+#: intercept 5.1-6.6).  Opt-in via qual_calibration="real" on the
+#: engine / --qual-calibration real on the CLI; the default stream
+#: stays the raw proxy (reference-free, weight-independent).  Refit
+#: alongside the decode presets whenever shipped weights change
+#: (models/calibration.py CALIBRATED_WEIGHT_SHA guards both).
+QUAL_RECAL: dict[str, tuple[float, float]] = {
+    "rgrgr_r94": (0.283, 5.20),
+    "rgrgr_r941": (0.274, 6.03),
+    "rgrgr_r10": (0.212, 5.60),
+    "raw_r94": (0.268, 6.56),
+    "rnnrf_r94": (0.293, 5.12),
+    "nanonet_events": (0.223, 6.27),
+}
+
+
+def recalibrate_phred(qual: str, model: str) -> str:
+    """Apply the measured linear Phred-space recalibration to a
+    Phred+33 quality string (KeyError for models without a fit)."""
+    a, b = QUAL_RECAL[model]
+    q = np.frombuffer(qual.encode("ascii"), np.uint8).astype(np.float64) - 33
+    q = np.clip(np.round(a * q + b), 0, 93).astype(np.uint8)
+    return (q + 33).tobytes().decode("ascii")
+
 
 def phred_string(p_correct: np.ndarray) -> str:
     """Phred+33 encode per-base correctness probabilities."""

@@ -95,6 +95,41 @@ def test_engine_with_qualities(model, sim_read):
     assert all(33 <= ord(c) <= 126 for c in withq.qual)
 
 
+def test_recalibrate_phred_linear_map():
+    """Measured Phred recalibration: q' = round(a*q + b) on the +33
+    codes, model-keyed (post/quality.QUAL_RECAL, round 4)."""
+    from scrappie_tpu.post.quality import QUAL_RECAL, recalibrate_phred
+
+    a, b = QUAL_RECAL["rgrgr_r94"]
+    qual = "".join(chr(33 + q) for q in (0, 10, 20, 40, 93))
+    out = recalibrate_phred(qual, "rgrgr_r94")
+    want = [int(np.clip(round(a * q + b), 0, 93)) for q in (0, 10, 20, 40, 93)]
+    assert [ord(c) - 33 for c in out] == want
+    with pytest.raises(KeyError):
+        recalibrate_phred(qual, "no_such_model")
+
+
+def test_engine_qual_calibration_real(sim_read):
+    """qual_calibration='real' transforms exactly the raw stream and
+    rejects models without a measured fit."""
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.post.quality import recalibrate_phred
+    from scrappie_tpu.types import RawSignal
+
+    raw_eng = BasecallEngine("rgrgr_r94", chunk_len=2000, overlap=400,
+                             batch_size=2)
+    cal_eng = BasecallEngine("rgrgr_r94", chunk_len=2000, overlap=400,
+                             batch_size=2, qual_calibration="real")
+    raw_q = raw_eng.basecall_signals([RawSignal(sim_read)],
+                                     with_qualities=True)[0].qual
+    cal_q = cal_eng.basecall_signals([RawSignal(sim_read)],
+                                     with_qualities=True)[0].qual
+    assert cal_q == recalibrate_phred(raw_q, "rgrgr_r94")
+
+    with pytest.raises(ValueError, match="unknown qual_calibration"):
+        BasecallEngine("rgrgr_r94", qual_calibration="bogus")
+
+
 def test_format_fastq_and_sam_qual():
     from scrappie_tpu.io.fasta import format_fastq, format_sam
 
