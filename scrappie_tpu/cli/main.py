@@ -253,6 +253,11 @@ def build_parser():
                          "model's service (see `raw --ensemble`); "
                          "requests routed to other models use those "
                          "models alone")
+    sv.add_argument("--qual-calibration", default="raw",
+                    choices=["raw", "real"],
+                    help="FASTQ qualities for every service: 'raw' "
+                         "proxy or the measured 'real' Phred "
+                         "recalibration (BASELINE.md)")
 
     sub.add_parser("version", help="print version")
     sub.add_parser("licence", help="print licensing information")
@@ -628,7 +633,8 @@ def main_serve(args) -> int:
           max_batch_reads=args.max_batch_reads, max_wait_ms=args.max_wait_ms,
           batch_size=args.batch, chunk_len=args.chunk_len,
           overlap=args.overlap,
-          ensemble=tuple(m for m in (args.ensemble or "").split(",") if m))
+          ensemble=tuple(m for m in (args.ensemble or "").split(",") if m),
+          qual_calibration=args.qual_calibration)
     return 0
 
 
