@@ -231,22 +231,9 @@ def basecall_raw(data, model: str = "rgrgr_r94", with_base_probs: bool = False,
     raw.trim().scale()
     post = calc_post(raw, model, log=True)
     if ensemble:
-        spec = RAW_MODELS[model]
-        if spec.kind not in ("rgrgr", "raw"):
-            raise ValueError("ensemble decoding needs per-block normalised "
-                             f"transducer posteriors (model kind {spec.kind!r})")
-        for m in ensemble:
-            ms = RAW_MODELS[m]
-            if ms.kind not in ("rgrgr", "raw") or ms.stride != spec.stride \
-                    or ms.nstate != spec.nstate:
-                raise ValueError(f"ensemble member {m}: the block grids "
-                                 "must align with the primary model's")
-        if ensemble_weights is None:
-            ensemble_weights = (3.0,) + (1.0,) * len(ensemble)
-        if len(ensemble_weights) != 1 + len(ensemble):
-            raise ValueError("need one weight per model, primary first")
-        w = np.asarray(ensemble_weights, np.float64)
-        w = w / w.sum()
+        from scrappie_tpu.models.ensemble import validate_ensemble
+
+        w = validate_ensemble(model, ensemble, ensemble_weights)
         lp = w[0] * post.data()
         for wi, m in zip(w[1:], ensemble):
             lp = lp + wi * calc_post(raw, m, log=True).data()

@@ -285,12 +285,19 @@ def main_raw(args) -> int:
     ensemble = tuple(m for m in (args.ensemble or "").split(",") if m)
     ens_weights = (tuple(float(w) for w in args.ensemble_weights.split(","))
                    if args.ensemble_weights else None)
-    engine = BasecallEngine(args.model, chunk_len=args.chunk_len, overlap=args.overlap,
-                            batch_size=batch, min_prob=args.min_prob,
-                            tempW=args.temperature1, tempb=args.temperature2,
-                            mode="fast" if args.fast else "stitch",
-                            ensemble=ensemble, ensemble_weights=ens_weights,
-                            qual_calibration=args.qual_calibration)
+    if ens_weights and not ensemble:
+        print("--ensemble-weights needs --ensemble", file=sys.stderr)
+        return 1
+    try:
+        engine = BasecallEngine(args.model, chunk_len=args.chunk_len, overlap=args.overlap,
+                                batch_size=batch, min_prob=args.min_prob,
+                                tempW=args.temperature1, tempb=args.temperature2,
+                                mode="fast" if args.fast else "stitch",
+                                ensemble=ensemble, ensemble_weights=ens_weights,
+                                qual_calibration=args.qual_calibration)
+    except ValueError as e:  # bad ensemble/mode combos get a clean message
+        print(str(e), file=sys.stderr)
+        return 1
     call_kwargs = dict(
         trim_start=args.trim[0], trim_end=args.trim[1],
         varseg_chunk=args.segmentation[0], varseg_thresh=args.segmentation[1],

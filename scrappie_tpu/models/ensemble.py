@@ -1,0 +1,52 @@
+"""Posterior-ensemble validation shared by the engine and the API.
+
+The combination itself is three lines (weighted log-domain mean,
+renormalised per block) and lives with its callers — jax-traced inside
+the engine's jit, numpy in api.basecall_raw — but the grid validation
+and weight normalisation must be ONE implementation so fixes can't
+drift between the two surfaces (round-4 review finding).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from scrappie_tpu.models.specs import RAW_MODELS
+
+
+def validate_ensemble(model: str, ensemble: tuple[str, ...],
+                      ensemble_weights=None) -> np.ndarray:
+    """Validate an ensemble config; return normalised weights
+    [1 + len(ensemble)] (primary first, default 3:1:...:1).
+
+    Every member must be a known per-block-normalised transducer model
+    on the primary's block grid (same stride and state space), and the
+    weights must be positive.
+    """
+    spec = RAW_MODELS[model]
+    if spec.kind not in ("rgrgr", "raw"):
+        raise ValueError("ensemble decoding needs per-block normalised "
+                         "transducer posteriors (primary model kind "
+                         f"{spec.kind!r})")
+    for m in ensemble:
+        if m not in RAW_MODELS:
+            raise ValueError(
+                f"unknown ensemble member {m!r}; known models: "
+                f"{', '.join(sorted(RAW_MODELS))}")
+        ms = RAW_MODELS[m]
+        if ms.kind not in ("rgrgr", "raw") or ms.stride != spec.stride \
+                or ms.nstate != spec.nstate:
+            raise ValueError(
+                f"ensemble member {m}: kind/stride/nstate "
+                f"({ms.kind}, {ms.stride}, {ms.nstate}) must match the "
+                f"primary's ({spec.kind}, {spec.stride}, {spec.nstate}) "
+                f"— the block grids must align")
+    if ensemble_weights is None:
+        ensemble_weights = (3.0,) + (1.0,) * len(ensemble)
+    if len(ensemble_weights) != 1 + len(ensemble):
+        raise ValueError("need one weight per model, primary first")
+    w = np.asarray(ensemble_weights, np.float64)
+    if not np.all(np.isfinite(w)) or np.any(w <= 0):
+        raise ValueError(f"ensemble weights must be positive and finite, "
+                         f"got {tuple(ensemble_weights)}")
+    return w / w.sum()

@@ -211,30 +211,14 @@ class BasecallEngine:
 
         fn = _forward_fn(spec)
         if ensemble:
+            from scrappie_tpu.models.ensemble import validate_ensemble
+
             if mode != "stitch":
                 raise ValueError("ensemble decoding is stitch-mode only "
                                  "(the fused kernels are single-model)")
-            if spec.kind not in ("rgrgr", "raw"):
-                raise ValueError("ensemble decoding needs per-block "
-                                 "normalised transducer posteriors "
-                                 f"(primary model kind {spec.kind!r})")
-            mspecs = [RAW_MODELS[m] for m in ensemble]
-            for m, ms in zip(ensemble, mspecs):
-                if ms.kind not in ("rgrgr", "raw") or \
-                        ms.stride != spec.stride or \
-                        ms.nstate != spec.nstate:
-                    raise ValueError(
-                        f"ensemble member {m}: kind/stride/nstate "
-                        f"({ms.kind}, {ms.stride}, {ms.nstate}) must match "
-                        f"the primary's ({spec.kind}, {spec.stride}, "
-                        f"{spec.nstate}) — the block grids must align")
-            if ensemble_weights is None:
-                ensemble_weights = (3.0,) + (1.0,) * len(ensemble)
-            if len(ensemble_weights) != 1 + len(ensemble):
-                raise ValueError("need one weight per model, primary first")
-            w = np.asarray(ensemble_weights, np.float32)
-            w = w / w.sum()
-            member_fns = [_forward_fn(ms) for ms in mspecs]
+            w = validate_ensemble(model, ensemble,
+                                  ensemble_weights).astype(np.float32)
+            member_fns = [_forward_fn(RAW_MODELS[m]) for m in ensemble]
             self._ens_params = tuple(
                 shard_params(registry.load_params(m), self.mesh,
                              state_shard_keys=("FF_W", "FF3_W"))
@@ -255,10 +239,24 @@ class BasecallEngine:
 
         if qual_calibration not in ("raw", "real"):
             raise ValueError(f"unknown qual_calibration {qual_calibration!r}")
+        self._qual_recal_key = None
         if qual_calibration == "real":
             from scrappie_tpu.post.quality import QUAL_RECAL
 
-            if self.model not in QUAL_RECAL:
+            composed = "+".join((self.model,) + self.ensemble)
+            if composed in QUAL_RECAL:
+                self._qual_recal_key = composed
+            elif self.model in QUAL_RECAL:
+                self._qual_recal_key = self.model
+                if self.ensemble:
+                    from scrappie_tpu.utils.tracing import log
+
+                    log("warn", "no quality recalibration fitted for this "
+                                "ensemble configuration; using the primary "
+                                "model's fit (see scripts/"
+                                "quality_calibration.py --ensemble)",
+                        config=composed)
+            else:
                 raise ValueError(f"no measured quality recalibration for "
                                  f"{self.model!r} (post/quality.QUAL_RECAL; "
                                  f"fit one with scripts/quality_calibration.py)")
@@ -529,11 +527,11 @@ class BasecallEngine:
 
     def _maybe_recal(self, qual: str | None) -> str | None:
         """Apply the measured Phred recalibration when enabled."""
-        if qual is None or self.qual_calibration != "real":
+        if qual is None or self._qual_recal_key is None:
             return qual
         from scrappie_tpu.post.quality import recalibrate_phred
 
-        return recalibrate_phred(qual, self.model)
+        return recalibrate_phred(qual, self._qual_recal_key)
 
     def _assemble_events(self, rt, et, path, score, dwell_correction,
                          lp=None, qual_stream=None,

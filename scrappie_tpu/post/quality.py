@@ -51,6 +51,12 @@ QUAL_RECAL: dict[str, tuple[float, float]] = {
     "raw_r94": (0.268, 6.56),
     "rnnrf_r94": (0.293, 5.12),
     "nanonet_events": (0.223, 6.27),
+    # Ensemble configurations are separate fits ("model+member+member"
+    # keys, scripts/quality_calibration.py --ensemble ...): the shipped
+    # 3:1:1 combination's error rate differs from the primary's, so its
+    # posteriors get their own map.  Engines fall back to the primary
+    # model's fit (with a warning) for unfitted combinations.
+    "rgrgr_r94+rgrgr_r941+rgrgr_r10": (0.295, 5.36),
 }
 
 

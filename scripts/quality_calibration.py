@@ -71,6 +71,9 @@ def correctness(call: str, truth: str) -> np.ndarray:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="rgrgr_r94")
+    ap.add_argument("--ensemble", default=None, metavar="MODELS",
+                    help="fit the ensemble configuration's qualities "
+                         "(comma-separated members, as the CLI flag)")
     ap.add_argument("pairs", nargs="*", metavar="fast5:truth.fa")
     args = ap.parse_args()
 
@@ -82,7 +85,8 @@ def main():
     if not pairs:
         sys.exit("no (fast5, truth) pairs")
 
-    eng = BasecallEngine(args.model, batch_size=8)
+    ensemble = tuple(m for m in (args.ensemble or "").split(",") if m)
+    eng = BasecallEngine(args.model, batch_size=8, ensemble=ensemble)
     qs, oks = [], []
     # events: dwell correction changes the basecall length, which drops
     # per-base qualities (runner warns) — score the uncorrected call
@@ -102,6 +106,8 @@ def main():
         print(f"[{os.path.basename(f5)}] {len(call)} bases, "
               f"error rate {1 - ok.mean():.4f} "
               f"(mean predicted Q {q.mean():.1f})")
+    if not qs:
+        sys.exit("no read produced a scored call; nothing to calibrate")
     q = np.concatenate(qs)
     ok = np.concatenate(oks)
 
@@ -118,9 +124,13 @@ def main():
         fit_x.append(lo + 2.0)
         fit_y.append(emp)
         fit_w.append(m.sum())
-    a, b = np.polyfit(fit_x, fit_y, 1, w=np.sqrt(fit_w))
-    print(f"\nlinear recalibration (Phred space): "
-          f"Q_emp ~= {a:.3f} * Q_pred + {b:.2f}")
+    if len(fit_x) >= 2:
+        a, b = np.polyfit(fit_x, fit_y, 1, w=np.sqrt(fit_w))
+        print(f"\nlinear recalibration (Phred space): "
+              f"Q_emp ~= {a:.3f} * Q_pred + {b:.2f}")
+    else:
+        print("\nfewer than 2 populated Q bins; no linear fit "
+              "(per-bin table above is still valid)")
     overall_err = 1.0 - ok.mean()
     print(f"overall: {len(q)} scored bases, error {overall_err:.4f} "
           f"(Q{-10*np.log10(overall_err):.1f}), "

@@ -111,6 +111,12 @@ def main():
         # event sampler holds per-read detector output + kmer maps.
         train_sampler = RealEventSampler(train_pool, seed=args.seed)
         for i, r in enumerate(train_pool):
+            if r.name == "ch228_pseudo":
+                # No truth exists to hold out: train on the whole
+                # pseudo read, matching the raw branch's frac=1.0
+                train_sampler._train_nev[i] = len(
+                    train_sampler._ev[i]["ev_base"])
+        for i, r in enumerate(train_pool):
             feats, states = wholeread.region_event_seqstates(
                 train_sampler, i, args.chunk)
             print(f"[{r.name}] region {len(feats)} events, "
@@ -126,6 +132,9 @@ def main():
                   flush=True)
             regions.append((sig[None, :, None], states[None, :]))
 
+    if args.augment and is_events:
+        ap.error("--augment is for the raw models; event-feature "
+                 "augmentation is not implemented")
     aug = None
     if args.augment and not is_events:
         # Per-step crops + gain/offset/noise, fixed jit shapes per read:

@@ -101,3 +101,32 @@ def test_ensemble_rejects_bad_configs():
     with pytest.raises(ValueError, match="one weight per model"):
         BasecallEngine("rgrgr_r94", ensemble=("rgrgr_r10",),
                        ensemble_weights=(1.0,))
+    # round-4 review findings: weights must be positive/finite, and an
+    # unknown member gets a ValueError naming the known models
+    with pytest.raises(ValueError, match="positive and finite"):
+        BasecallEngine("rgrgr_r94", ensemble=("rgrgr_r10",),
+                       ensemble_weights=(1.0, -1.0))
+    with pytest.raises(ValueError, match="positive and finite"):
+        BasecallEngine("rgrgr_r94", ensemble=("rgrgr_r10",),
+                       ensemble_weights=(0.0, 0.0))
+    with pytest.raises(ValueError, match="known models"):
+        BasecallEngine("rgrgr_r94", ensemble=("rgrgr_r94x",))
+
+
+def test_ensemble_qual_recal_uses_config_fit():
+    """qual_calibration='real' with the shipped ensemble uses the
+    ensemble configuration's own measured fit; unfitted combos fall
+    back to the primary's (with a warning)."""
+    from scrappie_tpu.parallel.runner import BasecallEngine
+
+    eng = BasecallEngine("rgrgr_r94", batch_size=8,
+                         ensemble=("rgrgr_r941", "rgrgr_r10"),
+                         qual_calibration="real")
+    assert eng._qual_recal_key == "rgrgr_r94+rgrgr_r941+rgrgr_r10"
+    eng2 = BasecallEngine("rgrgr_r94", batch_size=8,
+                          ensemble=("rgrgr_r941",),
+                          qual_calibration="real")
+    assert eng2._qual_recal_key == "rgrgr_r94"  # fallback
+    eng3 = BasecallEngine("rgrgr_r94", batch_size=8,
+                          qual_calibration="real")
+    assert eng3._qual_recal_key == "rgrgr_r94"
