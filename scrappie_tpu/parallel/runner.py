@@ -142,6 +142,10 @@ class BasecallEngine:
           tails (BASELINE.md "Posterior ensembling"): rgrgr_r94 +
           rgrgr_r941 + rgrgr_r10 at 3:1:1 lifts tail identity
           0.7084 -> 0.7159, improving both reads, at ~2x device cost.
+          Robustness: the geometric mean sharpens disagreement — on
+          out-of-distribution reads prefer skip_pen=0 with the
+          ensemble (the full (0.5, 0.5) preset partially collapsed
+          the third bundled read's call, BASELINE.md robustness note).
           The reference has no analogue (one network per call,
           ref src/scrappie_raw.c:199-210).
         ensemble_weights: per-model weights, primary first, default

@@ -60,10 +60,15 @@ def load_reads(label_model: str = "rgrgr_r94", refresh: bool = False):
 
 def load_pseudo_ch228(refresh: bool = False):
     """The truth-less third bundled read as a pseudo-labelled
-    LabelledRead (self-training, round 4): basecalled by the calibrated
-    flagship transducer (0.754/0.806 on the truth reads, BASELINE.md)
-    and label-aligned to its own call with the standard labelling
-    pipeline.  Train-only — never evaluated (no truth exists)."""
+    LabelledRead (self-training, round 4): basecalled by the 3:1:1
+    posterior ensemble at (stay 0.5, skip 0) — the best teacher that
+    is also ROBUST on this out-of-distribution read (held-out tails
+    0.7157 vs 0.7110 for the calibrated single model; the full
+    (0.5, 0.5) preset partially collapses the ensemble's ch228 call to
+    1168 bases vs 1932 single-model, BASELINE.md "Posterior
+    ensembling" robustness note) and label-aligned to its own call
+    with the standard labelling pipeline.  Train-only — never
+    evaluated (no truth exists)."""
     from scrappie_tpu.train.realdata import LabelledRead, label_read
 
     os.makedirs(CACHE, exist_ok=True)
@@ -83,9 +88,10 @@ def load_pseudo_ch228(refresh: bool = False):
     rt = trim_and_segment_raw(RawSignal(raw.raw, uuid=raw.uuid),
                               200, 10, 100, 0.0)
     norm = medmad_normalise(rt.trimmed).astype(np.float32)
-    eng = BasecallEngine("rgrgr_r94", batch_size=8)
+    eng = BasecallEngine("rgrgr_r94", batch_size=8,
+                         ensemble=("rgrgr_r941", "rgrgr_r10"))
     res = eng.basecall_signals([RawSignal(raw.raw, uuid=raw.uuid)],
-                               stay_pen=0.5, skip_pen=0.5)[0]
+                               stay_pen=0.5, skip_pen=0.0)[0]
     if not res.sequence:
         raise RuntimeError("pseudo-labelling basecall failed on ch228")
     r = label_read(norm, res.sequence, name="ch228_pseudo")

@@ -44,11 +44,12 @@ PSEUDO_F5 = "/root/reference/reads/read_ch228_file118.fast5"
 def pseudo_region_ch228(spec, chunk: int):
     """Self-training region from the third bundled read (no truth FASTA).
 
-    Pseudo-labels come from the flagship rgrgr_r94 transducer with the
-    measured real-read calibration preset (0.754/0.806 identity on the
-    truth reads, BASELINE.md) — standard self-training: the CRF head
-    learns real signal statistics from a teacher that is already ~0.75
-    right, and the lattice loss marginalises the teacher's alignment.
+    Pseudo-labels come from the calibrated 3:1:1 posterior ensemble at
+    (stay 0.5, skip 0) — the strongest teacher that is robust on this
+    OOD read (held-out tails 0.7157, BASELINE.md "Posterior
+    ensembling") — standard self-training: the CRF head learns real
+    signal statistics from a teacher that is already ~0.75 right, and
+    the lattice loss marginalises the teacher's alignment.
     The basecall's per-block pos array bounds the label subsequence to
     the chunk-trimmed signal span (the overlapper fills pos, mirroring
     ref src/decode.c:482-498).
@@ -63,9 +64,14 @@ def pseudo_region_ch228(spec, chunk: int):
     rt = trim_and_segment_raw(RawSignal(raw.raw, uuid=raw.uuid),
                               200, 10, 100, 0.0)
     norm = medmad_normalise(rt.trimmed).astype(np.float32)
-    eng = BasecallEngine("rgrgr_r94", batch_size=8)
+    # Teacher: the 3:1:1 posterior ensemble at (stay 0.5, skip 0) —
+    # the best config that is also robust on this OOD read (the full
+    # (0.5, 0.5) preset partially collapses the ensemble's ch228 call;
+    # BASELINE.md "Posterior ensembling" robustness note).
+    eng = BasecallEngine("rgrgr_r94", batch_size=8,
+                         ensemble=("rgrgr_r941", "rgrgr_r10"))
     res = eng.basecall_signals([RawSignal(raw.raw, uuid=raw.uuid)],
-                               stay_pen=0.5, skip_pen=0.5)[0]
+                               stay_pen=0.5, skip_pen=0.0)[0]
     if not res.sequence:
         raise RuntimeError("pseudo-labelling basecall failed on ch228")
     tsig = (len(norm) // (spec.stride * chunk)) * spec.stride * chunk
@@ -99,10 +105,10 @@ def main():
     ap.add_argument("--pseudo-ch228", action="store_true", default=False,
                     help="self-training: add the third bundled read "
                          "(ch228, no truth FASTA) as a weakly-supervised "
-                         "whole region, pseudo-labelled by the flagship "
-                         "rgrgr_r94 transducer with the measured real "
-                         "calibration preset (0.75-identity on the truth "
-                         "reads); train-only, never evaluated")
+                         "whole region, pseudo-labelled by the 3:1:1 "
+                         "posterior ensemble at (stay 0.5, skip 0) — see "
+                         "pseudo_region_ch228; train-only, never "
+                         "evaluated")
     ap.add_argument("--init", default=None)
     ap.add_argument("--save", default=None)
     ap.add_argument("--seed", type=int, default=0)
