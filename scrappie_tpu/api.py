@@ -230,7 +230,7 @@ def basecall_raw(data, model: str = "rgrgr_r94", with_base_probs: bool = False,
     raw = RawTable(data)
     raw.trim().scale()
     post = calc_post(raw, model, log=True)
-    if ensemble:
+    if ensemble or ensemble_weights is not None:
         from scrappie_tpu.models.ensemble import validate_ensemble
 
         w = validate_ensemble(model, ensemble, ensemble_weights)

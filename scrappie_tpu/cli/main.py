@@ -282,7 +282,9 @@ def main_raw(args) -> int:
     from scrappie_tpu.utils.tracing import profile
 
     batch = max(args.batch, args.threads or 0)  # --threads ~ read-level parallelism
-    ensemble = tuple(m for m in (args.ensemble or "").split(",") if m)
+    from scrappie_tpu.models.ensemble import parse_members
+
+    ensemble = parse_members(args.ensemble)
     ens_weights = (tuple(float(w) for w in args.ensemble_weights.split(","))
                    if args.ensemble_weights else None)
     if ens_weights and not ensemble:
@@ -634,13 +636,13 @@ def main_event_table(args) -> int:
 
 
 def main_serve(args) -> int:
+    from scrappie_tpu.models.ensemble import parse_members
     from scrappie_tpu.serve import serve
 
     serve(args.host, args.port, model=args.model,
           max_batch_reads=args.max_batch_reads, max_wait_ms=args.max_wait_ms,
           batch_size=args.batch, chunk_len=args.chunk_len,
-          overlap=args.overlap,
-          ensemble=tuple(m for m in (args.ensemble or "").split(",") if m),
+          overlap=args.overlap, ensemble=parse_members(args.ensemble),
           qual_calibration=args.qual_calibration)
     return 0
 

@@ -14,6 +14,13 @@ import numpy as np
 from scrappie_tpu.models.specs import RAW_MODELS
 
 
+def parse_members(s: str | None) -> tuple[str, ...]:
+    """Parse a CLI-style comma-separated member list ('' / None = no
+    ensemble); shared by every flag surface so the parsing can't
+    drift."""
+    return tuple(m.strip() for m in (s or "").split(",") if m.strip())
+
+
 def validate_ensemble(model: str, ensemble: tuple[str, ...],
                       ensemble_weights=None) -> np.ndarray:
     """Validate an ensemble config; return normalised weights
@@ -23,11 +30,14 @@ def validate_ensemble(model: str, ensemble: tuple[str, ...],
     on the primary's block grid (same stride and state space), and the
     weights must be positive.
     """
-    spec = RAW_MODELS[model]
-    if spec.kind not in ("rgrgr", "raw"):
+    if ensemble_weights is not None and not ensemble:
+        raise ValueError("ensemble_weights given without ensemble members")
+    spec = RAW_MODELS.get(model)
+    if spec is None or spec.kind not in ("rgrgr", "raw"):
+        kind = spec.kind if spec is not None else model
         raise ValueError("ensemble decoding needs per-block normalised "
                          "transducer posteriors (primary model kind "
-                         f"{spec.kind!r})")
+                         f"{kind!r})")
     for m in ensemble:
         if m not in RAW_MODELS:
             raise ValueError(

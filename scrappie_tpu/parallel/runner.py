@@ -214,7 +214,8 @@ class BasecallEngine:
             return functools.partial(forward.raw_posterior, **kwargs)
 
         fn = _forward_fn(spec)
-        if ensemble:
+        self._default_ens_weights = ensemble_weights is None
+        if ensemble or ensemble_weights is not None:
             from scrappie_tpu.models.ensemble import validate_ensemble
 
             if mode != "stitch":
@@ -247,8 +248,11 @@ class BasecallEngine:
         if qual_calibration == "real":
             from scrappie_tpu.post.quality import QUAL_RECAL
 
-            composed = "+".join((self.model,) + self.ensemble)
-            if composed in QUAL_RECAL:
+            # The configuration fit only applies at its fitted weights
+            # (default 3:1:...:1); member order doesn't change the
+            # posterior, so the key is order-canonical.
+            composed = "+".join((self.model,) + tuple(sorted(self.ensemble)))
+            if composed in QUAL_RECAL and self._default_ens_weights:
                 self._qual_recal_key = composed
             elif self.model in QUAL_RECAL:
                 self._qual_recal_key = self.model

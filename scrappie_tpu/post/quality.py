@@ -52,11 +52,13 @@ QUAL_RECAL: dict[str, tuple[float, float]] = {
     "rnnrf_r94": (0.293, 5.12),
     "nanonet_events": (0.223, 6.27),
     # Ensemble configurations are separate fits ("model+member+member"
-    # keys, scripts/quality_calibration.py --ensemble ...): the shipped
-    # 3:1:1 combination's error rate differs from the primary's, so its
-    # posteriors get their own map.  Engines fall back to the primary
-    # model's fit (with a warning) for unfitted combinations.
-    "rgrgr_r94+rgrgr_r941+rgrgr_r10": (0.295, 5.36),
+    # keys with members SORTED — order doesn't change the posterior;
+    # scripts/quality_calibration.py --ensemble ...): the shipped 3:1:1
+    # combination's error rate differs from the primary's, so its
+    # posteriors get their own map.  The fit only applies at its fitted
+    # (default) weights; engines fall back to the primary model's fit
+    # (with a warning) for unfitted combinations or custom weights.
+    "rgrgr_r94+rgrgr_r10+rgrgr_r941": (0.295, 5.36),
 }
 
 

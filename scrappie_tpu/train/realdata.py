@@ -313,7 +313,11 @@ class RealEventSampler:
     """
 
     def __init__(self, reads: list[LabelledRead], holdout_frac: float = 0.25,
-                 seed: int = 0, edge_mask: int = 8, klen: int = KMER_LEN):
+                 seed: int = 0, edge_mask: int = 8, klen: int = KMER_LEN,
+                 full_train_names: frozenset[str] = frozenset()):
+        """full_train_names: reads whose WHOLE event table is trainable
+        (no holdout tail) — e.g. pseudo-labelled reads with no truth to
+        hold out (scripts/train_wholeread_transducer.py)."""
         from scrappie_tpu.signal.events import detect_events
         from scrappie_tpu.signal.features import nanonet_features_from_events
         from scrappie_tpu.types import RawSignal
@@ -338,9 +342,12 @@ class RealEventSampler:
                 "ev_base": ev_base.astype(np.int64),
                 "kmers": _rolling_kmers(r.bases, klen),
             })
-            train_end_sample = int(r.nsample * (1.0 - holdout_frac))
-            self._train_nev.append(
-                int(np.searchsorted(last, train_end_sample)))
+            if r.name in full_train_names:
+                self._train_nev.append(len(last))
+            else:
+                train_end_sample = int(r.nsample * (1.0 - holdout_frac))
+                self._train_nev.append(
+                    int(np.searchsorted(last, train_end_sample)))
 
     def _window(self, ridx: int, nevent: int) -> tuple[int, int]:
         """Start index and length of a training window that stays

@@ -71,12 +71,20 @@ def load_pseudo_ch228(refresh: bool = False):
     evaluated (no truth exists)."""
     from scrappie_tpu.train.realdata import LabelledRead, label_read
 
+    # Cache is keyed by the teacher configuration: a stale cache from
+    # an older teacher would silently diverge from the documented
+    # protocol (round-4 review finding).
+    teacher = "ens311_stay0.5_skip0"
     os.makedirs(CACHE, exist_ok=True)
     path = os.path.join(CACHE, "pseudo_ch228.npz")
     if os.path.exists(path) and not refresh:
         z = np.load(path, allow_pickle=False)
-        return LabelledRead(str(z["name"]), z["norm"], z["bases"],
-                            z["base_at"], float(z["score"]))
+        if "teacher" in z and str(z["teacher"]) == teacher:
+            return LabelledRead(str(z["name"]), z["norm"], z["bases"],
+                                z["base_at"], float(z["score"]))
+        print(f"[pseudo-ch228] cache from a different teacher "
+              f"({str(z['teacher']) if 'teacher' in z else 'pre-tag'}); "
+              f"regenerating with {teacher}", flush=True)
     from scrappie_tpu.io.fast5 import read_raw
     from scrappie_tpu.parallel.runner import BasecallEngine
     from scrappie_tpu.signal.trim import trim_and_segment_raw
@@ -96,7 +104,8 @@ def load_pseudo_ch228(refresh: bool = False):
         raise RuntimeError("pseudo-labelling basecall failed on ch228")
     r = label_read(norm, res.sequence, name="ch228_pseudo")
     np.savez_compressed(path, name=r.name, norm=r.norm, bases=r.bases,
-                        base_at=r.base_at, score=r.map_score)
+                        base_at=r.base_at, score=r.map_score,
+                        teacher=teacher)
     return r
 
 
@@ -211,8 +220,10 @@ def main():
     ap.add_argument("--refresh-labels", action="store_true")
     ap.add_argument("--pseudo-ch228", action="store_true", default=False,
                     help="self-training: add the truth-less third bundled "
-                         "read, pseudo-labelled by the calibrated flagship "
-                         "transducer, to the training pool (train-only)")
+                         "read, pseudo-labelled by the 3:1:1 posterior "
+                         "ensemble at (stay 0.5, skip 0) — see "
+                         "load_pseudo_ch228 — to the training pool "
+                         "(train-only)")
     args = ap.parse_args()
 
     import jax.numpy as jnp

@@ -85,8 +85,10 @@ def main():
     if not pairs:
         sys.exit("no (fast5, truth) pairs")
 
-    ensemble = tuple(m for m in (args.ensemble or "").split(",") if m)
-    eng = BasecallEngine(args.model, batch_size=8, ensemble=ensemble)
+    from scrappie_tpu.models.ensemble import parse_members
+
+    eng = BasecallEngine(args.model, batch_size=8,
+                         ensemble=parse_members(args.ensemble))
     qs, oks = [], []
     # events: dwell correction changes the basecall length, which drops
     # per-base qualities (runner warns) — score the uncorrected call

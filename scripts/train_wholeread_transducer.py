@@ -87,6 +87,9 @@ def main():
     from scrappie_tpu.train.realdata import RealEventSampler, RealReadSampler
 
     is_events = args.model == "nanonet_events"
+    if args.augment and is_events:
+        ap.error("--augment is for the raw models; event-feature "
+                 "augmentation is not implemented")
     spec = None if is_events else RAW_MODELS[args.model]
     reads = load_reads()
     train_idxs = (args.train_reads if args.train_reads is not None
@@ -109,13 +112,11 @@ def main():
     if is_events:
         # Regions are event tables: blocks = events, stride 1; the
         # event sampler holds per-read detector output + kmer maps.
-        train_sampler = RealEventSampler(train_pool, seed=args.seed)
-        for i, r in enumerate(train_pool):
-            if r.name == "ch228_pseudo":
-                # No truth exists to hold out: train on the whole
-                # pseudo read, matching the raw branch's frac=1.0
-                train_sampler._train_nev[i] = len(
-                    train_sampler._ev[i]["ev_base"])
+        # The pseudo read has no truth to hold out — train on all of
+        # its events, matching the raw branch's frac=1.0.
+        train_sampler = RealEventSampler(
+            train_pool, seed=args.seed,
+            full_train_names=frozenset({"ch228_pseudo"}))
         for i, r in enumerate(train_pool):
             feats, states = wholeread.region_event_seqstates(
                 train_sampler, i, args.chunk)
@@ -132,9 +133,6 @@ def main():
                   flush=True)
             regions.append((sig[None, :, None], states[None, :]))
 
-    if args.augment and is_events:
-        ap.error("--augment is for the raw models; event-feature "
-                 "augmentation is not implemented")
     aug = None
     if args.augment and not is_events:
         # Per-step crops + gain/offset/noise, fixed jit shapes per read:

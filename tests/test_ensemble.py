@@ -122,7 +122,18 @@ def test_ensemble_qual_recal_uses_config_fit():
     eng = BasecallEngine("rgrgr_r94", batch_size=8,
                          ensemble=("rgrgr_r941", "rgrgr_r10"),
                          qual_calibration="real")
-    assert eng._qual_recal_key == "rgrgr_r94+rgrgr_r941+rgrgr_r10"
+    assert eng._qual_recal_key == "rgrgr_r94+rgrgr_r10+rgrgr_r941"
+    # member order doesn't change the posterior: same (sorted) key
+    eng_r = BasecallEngine("rgrgr_r94", batch_size=8,
+                           ensemble=("rgrgr_r10", "rgrgr_r941"),
+                           qual_calibration="real")
+    assert eng_r._qual_recal_key == eng._qual_recal_key
+    # custom weights change the posterior: the 3:1:1 fit doesn't apply
+    eng_w = BasecallEngine("rgrgr_r94", batch_size=8,
+                           ensemble=("rgrgr_r941", "rgrgr_r10"),
+                           ensemble_weights=(1.0, 5.0, 5.0),
+                           qual_calibration="real")
+    assert eng_w._qual_recal_key == "rgrgr_r94"  # fallback + warning
     eng2 = BasecallEngine("rgrgr_r94", batch_size=8,
                           ensemble=("rgrgr_r941",),
                           qual_calibration="real")
