@@ -60,9 +60,16 @@ _CRF_BASES = np.array(list("ACGT"))
 _RES_STRIDE = 4
 
 
-def _build_posterior(model: str, min_prob: float, tempW: float, tempb: float):
+def _build_posterior(model: str, min_prob: float, tempW: float, tempb: float,
+                     ensemble: tuple[str, ...] = (), ensemble_weights=None):
     """Jitted posterior/transition forward for one model (shared by a
-    solo stream, or once across a whole StreamingBatcher)."""
+    solo stream, or once across a whole StreamingBatcher).
+
+    With `ensemble`, the returned params are a TUPLE of per-model dicts
+    (primary first) and the program emits the weighted geometric mean
+    of the members' posteriors, renormalised per block — the streaming
+    analogue of BasecallEngine(ensemble=...) (same validation,
+    models/ensemble.py)."""
     import functools
 
     import jax
@@ -70,21 +77,41 @@ def _build_posterior(model: str, min_prob: float, tempW: float, tempb: float):
 
     from scrappie_tpu.models import forward, registry
 
-    spec = RAW_MODELS[model]
-    params = {k: jnp.asarray(v)
-              for k, v in registry.load_params(model).items()}
-    kwargs = dict(stride=spec.stride, min_prob=min_prob, tempW=tempW,
-                  tempb=tempb, return_log=True)
-    if spec.kind == "rgrgr":
-        fn = functools.partial(forward.rgrgr_posterior,
-                               conv_activation=spec.conv_activation, **kwargs)
-    elif spec.kind == "rnnrf":
-        fn = functools.partial(forward.rnnrf_transitions,
-                               conv_activation=spec.conv_activation,
-                               stride=spec.stride)
-    else:
-        fn = functools.partial(forward.raw_posterior, **kwargs)
-    return params, jax.jit(lambda p, x: fn(p, x))
+    def one(m):
+        spec = RAW_MODELS[m]
+        params = {k: jnp.asarray(v)
+                  for k, v in registry.load_params(m).items()}
+        kwargs = dict(stride=spec.stride, min_prob=min_prob, tempW=tempW,
+                      tempb=tempb, return_log=True)
+        if spec.kind == "rgrgr":
+            fn = functools.partial(forward.rgrgr_posterior,
+                                   conv_activation=spec.conv_activation,
+                                   **kwargs)
+        elif spec.kind == "rnnrf":
+            fn = functools.partial(forward.rnnrf_transitions,
+                                   conv_activation=spec.conv_activation,
+                                   stride=spec.stride)
+        else:
+            fn = functools.partial(forward.raw_posterior, **kwargs)
+        return params, fn
+
+    params, fn = one(model)
+    if not ensemble:
+        return params, jax.jit(lambda p, x: fn(p, x))
+
+    from scrappie_tpu.models.ensemble import validate_ensemble
+
+    w = validate_ensemble(model, ensemble, ensemble_weights)
+    members = [one(m) for m in ensemble]
+
+    def combined(ps, x):
+        lp = np.float32(w[0]) * fn(ps[0], x)
+        for wi, (_, f), p in zip(w[1:], members, ps[1:]):
+            lp = lp + np.float32(wi) * f(p, x)
+        return lp - jax.scipy.special.logsumexp(lp, axis=-1, keepdims=True)
+
+    all_params = (params,) + tuple(p for p, _ in members)
+    return all_params, jax.jit(combined)
 
 
 class SampleBufferMixin:
@@ -155,9 +182,16 @@ class StreamingBasecaller(SampleBufferMixin):
                  tempW: float = 1.0, tempb: float = 1.0, stay_pen: float = 0.0,
                  skip_pen: float = 0.0, local_pen: float = 2.0,
                  use_slip: bool = False, decode_fn=None,
-                 trim_start: int = 0):
+                 trim_start: int = 0, ensemble: tuple[str, ...] = (),
+                 ensemble_weights: tuple[float, ...] | None = None):
         self.model = model
         self.spec = RAW_MODELS[model]
+        self._ensemble = tuple(ensemble)
+        self._ensemble_weights = ensemble_weights
+        if ensemble or ensemble_weights is not None:
+            from scrappie_tpu.models.ensemble import validate_ensemble
+
+            validate_ensemble(model, self._ensemble, ensemble_weights)
         stride = self.spec.stride
         if chunk_len % stride or overlap % stride:
             raise ValueError("chunk_len and overlap must be stride multiples")
@@ -278,10 +312,13 @@ class StreamingBasecaller(SampleBufferMixin):
         from scrappie_tpu import ops
 
         if self._own_program is None:
-            self._own_program = _build_posterior(self.model,
-                                                 *self._posterior_opts)
+            self._own_program = _build_posterior(
+                self.model, *self._posterior_opts,
+                ensemble=self._ensemble,
+                ensemble_weights=self._ensemble_weights)
         params, posterior = self._own_program
-        if self.spec.kind == "rgrgr" and ops.pallas_enabled():
+        if self.spec.kind == "rgrgr" and not self._ensemble \
+                and ops.pallas_enabled():
             # fused chunk pipeline (see StreamingBatcher._decode_batch_input)
             from scrappie_tpu.ops.pipeline import rgrgr_basecall_fused
 
@@ -451,7 +488,9 @@ class StreamingBatcher:
                  mesh=None, min_prob: float = 1e-5, tempW: float = 1.0,
                  tempb: float = 1.0, stay_pen: float = 0.0,
                  skip_pen: float = 0.0, local_pen: float = 2.0,
-                 use_slip: bool = False, **stream_kwargs):
+                 use_slip: bool = False, ensemble: tuple[str, ...] = (),
+                 ensemble_weights: tuple[float, ...] | None = None,
+                 **stream_kwargs):
         from scrappie_tpu.parallel.sharding import (
             batch_sharding,
             make_mesh,
@@ -464,14 +503,20 @@ class StreamingBatcher:
         self._decode_args = (float(stay_pen), float(skip_pen),
                              float(local_pen), bool(use_slip))
         self._min_prob, self._tempW, self._tempb = min_prob, tempW, tempb
-        self._params, self._posterior = _build_posterior(model, min_prob,
-                                                         tempW, tempb)
+        self._ensemble = tuple(ensemble)
+        self._params, self._posterior = _build_posterior(
+            model, min_prob, tempW, tempb, ensemble=self._ensemble,
+            ensemble_weights=ensemble_weights)
         # Data-parallel over the mesh like the batch engine: live
         # serving should light up every chip, not one
         self.mesh = mesh if mesh is not None else make_mesh()
         self.batch_size = -(-batch_size // self.mesh.shape["data"]) \
             * self.mesh.shape["data"]
-        self._params = shard_params(self._params, self.mesh)
+        if self._ensemble:
+            self._params = tuple(shard_params(p, self.mesh)
+                                 for p in self._params)
+        else:
+            self._params = shard_params(self._params, self.mesh)
         self._batch_sharding = batch_sharding(self.mesh)
         self._stream_kwargs = dict(stream_kwargs, min_prob=min_prob,
                                    tempW=tempW, tempb=tempb,
@@ -511,7 +556,8 @@ class StreamingBatcher:
         from scrappie_tpu import ops
 
         x = jax.device_put(xs[..., None], self._batch_sharding)
-        if self.spec.kind == "rgrgr" and ops.pallas_enabled():
+        if self.spec.kind == "rgrgr" and not self._ensemble \
+                and ops.pallas_enabled():
             # fully-fused chunk pipeline (ops/pipeline.py): the
             # [B, nblock, 1025] posterior never materialises in HBM —
             # the same path the batch engine's fast mode uses

@@ -89,6 +89,46 @@ def test_api_ensemble_posterior_combination():
         api.basecall_raw(sig, ensemble=("raw_r94",))
 
 
+def test_streaming_ensemble_matches_solo_and_engine_posterior():
+    """Streaming with ensemble: the batcher equals a solo ensembled
+    stream, the shared program equals the engine's combined posterior,
+    and the ensemble actually changes the call (sanity)."""
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.parallel.streaming import (StreamingBasecaller,
+                                                 StreamingBatcher)
+    from scrappie_tpu.train.simulate import SquiggleSimulator
+
+    sig, _, _ = SquiggleSimulator(seed=9).simulate_read(900)
+    sig = np.asarray(sig, np.float32)
+    ens = ("rgrgr_r941", "rgrgr_r10")
+
+    solo = StreamingBasecaller("rgrgr_r94", 2000, 400, ensemble=ens,
+                               trim_start=0)
+    for i in range(0, len(sig), 1500):
+        solo.feed(sig[i : i + 1500])
+    solo.flush()
+
+    bat = StreamingBatcher("rgrgr_r94", 2000, 400, batch_size=2,
+                           ensemble=ens, trim_start=0)
+    bat.add_stream("a")
+    got = bat.feed("a", sig) + bat.flush("a")
+    assert got == solo.sequence and got
+
+    plain = StreamingBasecaller("rgrgr_r94", 2000, 400, trim_start=0)
+    plain.feed(sig)
+    plain.flush()
+    assert plain.sequence != solo.sequence  # the ensemble is live
+
+    eng = BasecallEngine("rgrgr_r94", batch_size=2, ensemble=ens)
+    x = jnp.asarray(sig[:2000], jnp.float32)[None, :, None]
+    np.testing.assert_allclose(
+        np.asarray(bat._posterior(bat._params, x)),
+        np.asarray(eng._posterior(eng.params, x)), atol=2e-5)
+
+    with pytest.raises(ValueError, match="block grids must align"):
+        StreamingBasecaller("rgrgr_r94", 2000, 400, ensemble=("raw_r94",))
+
+
 def test_ensemble_rejects_bad_configs():
     from scrappie_tpu.parallel.runner import BasecallEngine
 
