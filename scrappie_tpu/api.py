@@ -237,7 +237,13 @@ def basecall_raw(data, model: str = "rgrgr_r94", with_base_probs: bool = False,
         lp = w[0] * post.data()
         for wi, m in zip(w[1:], ensemble):
             lp = lp + wi * calc_post(raw, m, log=True).data()
-        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        from scrappie_tpu.models.specs import RAW_MODELS as _RM
+
+        if _RM[model].kind != "rnnrf":
+            # CRF members are transition energies: the weighted mean is
+            # the whole combination (globally-normalised model; per-block
+            # renormalisation is a Viterbi no-op — models/ensemble.py)
+            lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
         post = Posterior(lp.astype(np.float32), model)
     seq, score, pos = decode_post(post, model, **kwargs)
 

@@ -143,12 +143,14 @@ def build_parser():
                           "error rates (BASELINE.md 'Quality "
                           "calibration')")
     raw.add_argument("--ensemble", default=None, metavar="MODELS",
-                     help="Comma-separated extra transducer models whose "
-                          "posteriors are geometrically averaged with "
-                          "--model's before decoding (stitch mode only; "
-                          "strides must match).  Measured on the bundled "
-                          "reads' held-out tails: rgrgr_r941,rgrgr_r10 "
-                          "lifts identity +0.008 at ~2x device cost "
+                     help="Comma-separated extra same-family models whose "
+                          "posteriors (transducers) or CRF transition "
+                          "energies (rnnrf) are combined with --model's "
+                          "before decoding (strides must match; works "
+                          "with --fast via the fused multi-model VMEM "
+                          "kernel).  Measured on the bundled reads' "
+                          "held-out tails: rgrgr_r941,rgrgr_r10 lifts "
+                          "identity +0.008 at ~2x device cost "
                           "(BASELINE.md 'Posterior ensembling')")
     raw.add_argument("--ensemble-weights", default=None, metavar="W,W,...",
                      help="Per-model ensemble weights, --model first "

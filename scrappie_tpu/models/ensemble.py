@@ -26,31 +26,39 @@ def validate_ensemble(model: str, ensemble: tuple[str, ...],
     """Validate an ensemble config; return normalised weights
     [1 + len(ensemble)] (primary first, default 3:1:...:1).
 
-    Every member must be a known per-block-normalised transducer model
-    on the primary's block grid (same stride and state space), and the
-    weights must be positive.
+    Two model families can ensemble, never mixed: the per-block
+    normalised transducers (rgrgr/raw — weighted log-domain posterior
+    mean, renormalised per block) and the CRF family (rnnrf — weighted
+    mean of the 25 shared transition energies, a log-domain product of
+    experts on the state space of ref src/decode.c:836-894; no
+    renormalisation, the CRF is globally normalised).  Every member
+    must sit on the primary's block grid (same stride and state
+    space), and the weights must be positive.
     """
     if ensemble_weights is not None and not ensemble:
         raise ValueError("ensemble_weights given without ensemble members")
     spec = RAW_MODELS.get(model)
-    if spec is None or spec.kind not in ("rgrgr", "raw"):
+    if spec is None or spec.kind not in ("rgrgr", "raw", "rnnrf"):
         kind = spec.kind if spec is not None else model
         raise ValueError("ensemble decoding needs per-block normalised "
-                         "transducer posteriors (primary model kind "
-                         f"{kind!r})")
+                         "transducer posteriors or shared-grid CRF "
+                         f"transitions (primary model kind {kind!r})")
+    # Families may not mix: transducer posteriors and CRF transition
+    # energies live on different state spaces.
+    family = ("rnnrf",) if spec.kind == "rnnrf" else ("rgrgr", "raw")
     for m in ensemble:
         if m not in RAW_MODELS:
             raise ValueError(
                 f"unknown ensemble member {m!r}; known models: "
                 f"{', '.join(sorted(RAW_MODELS))}")
         ms = RAW_MODELS[m]
-        if ms.kind not in ("rgrgr", "raw") or ms.stride != spec.stride \
+        if ms.kind not in family or ms.stride != spec.stride \
                 or ms.nstate != spec.nstate:
             raise ValueError(
                 f"ensemble member {m}: kind/stride/nstate "
                 f"({ms.kind}, {ms.stride}, {ms.nstate}) must match the "
-                f"primary's ({spec.kind}, {spec.stride}, {spec.nstate}) "
-                f"— the block grids must align")
+                f"primary's family ({'/'.join(family)}, {spec.stride}, "
+                f"{spec.nstate}) — the block grids must align")
     if ensemble_weights is None:
         ensemble_weights = (3.0,) + (1.0,) * len(ensemble)
     if len(ensemble_weights) != 1 + len(ensemble):

@@ -86,6 +86,51 @@ def _fused_quality_stream(x_tm, W, bvec, path, *, min_prob=1e-5, tempW=1.0,
     return phred.astype(jnp.uint8)
 
 
+def _rgrgr_features_tm(params, sig, conv_activation, stride, prec_name):
+    """Batch-padded sig [B8, T, 1] -> time-major hidden features
+    [nblock, B8, 128] through conv + the 5 alternating GRUs (the
+    rgrgr stack below the posterior head)."""
+    W = params["conv_W"]
+    cpad = _round_up(W.shape[2], LANE) - W.shape[2]
+    Wp = jnp.pad(W, ((0, 0), (0, 0), (0, cpad)))
+    bp = jnp.pad(params["conv_b"], (0, cpad))
+    x = _CONV_ACT[conv_activation](conv1d(sig, Wp, bp, int(stride)))
+    x = jnp.moveaxis(x, 0, 1)  # [nblock, B, 128]
+    for i, d in enumerate(GRU_DIRS, start=1):
+        pre = f"gru{d.upper()}{i}"
+        iWp, bgp, sWp, sW2p = pad_gru_params(
+            params[f"{pre}_iW"], params[f"{pre}_b"], params[f"{pre}_sW"],
+            params[f"{pre}_sW2"], in_pad=x.shape[-1])
+        x = gru_layer_fused_tm(x, iWp, bgp, sWp, sW2p, reverse=(d == "b"),
+                               prec_name=prec_name)
+    return x
+
+
+def _raw_features_tm(params, sig, stride, prec_name):
+    """raw_r94 twin of _rgrgr_features_tm: conv(tanh) + two biGRU
+    stages combined with feedforward2_tanh."""
+    from scrappie_tpu.models.forward import _ff2_tanh_padded
+
+    W = params["conv_W"]
+    cpad = _round_up(W.shape[2], LANE) - W.shape[2]
+    Wp = jnp.pad(W, ((0, 0), (0, 0), (0, cpad)))
+    bp = jnp.pad(params["conv_b"], (0, cpad))
+    x = jnp.tanh(conv1d(sig, Wp, bp, int(stride)))
+    x = jnp.moveaxis(x, 0, 1)  # [nblock, B, 128]
+    for layer in (1, 2):
+        hs = {}
+        for d, rev in (("F", False), ("B", True)):
+            pre = f"gru{d}{layer}"
+            iWp, bgp, sWp, sW2p = pad_gru_params(
+                params[f"{pre}_iW"], params[f"{pre}_b"], params[f"{pre}_sW"],
+                params[f"{pre}_sW2"], in_pad=x.shape[-1])
+            hs[d] = gru_layer_fused_tm(x, iWp, bgp, sWp, sW2p, reverse=rev,
+                                       prec_name=prec_name)
+        x = _ff2_tanh_padded(hs["F"], hs["B"], params[f"FF{layer}_Wf"],
+                             params[f"FF{layer}_Wb"], params[f"FF{layer}_b"])
+    return x
+
+
 def rgrgr_basecall_fused(params, sig, **kwargs):
     """sig [B, T, 1] -> (logscore [B], path [B, nblock+1] int32).
 
@@ -121,20 +166,7 @@ def _rgrgr_basecall_fused(params, sig, *, conv_activation: str = "elu",
     # Conv with output channels padded to the lane width: pad weight /
     # bias columns are zero, the activations (elu/tanh) keep 0 -> 0, so
     # the pad lanes stay exactly zero for the GRU stack.
-    W = params["conv_W"]
-    cpad = _round_up(W.shape[2], LANE) - W.shape[2]
-    Wp = jnp.pad(W, ((0, 0), (0, 0), (0, cpad)))
-    bp = jnp.pad(params["conv_b"], (0, cpad))
-    x = _CONV_ACT[conv_activation](conv1d(sig, Wp, bp, int(stride)))
-    x = jnp.moveaxis(x, 0, 1)  # [nblock, B, 128]
-
-    for i, d in enumerate(GRU_DIRS, start=1):
-        pre = f"gru{d.upper()}{i}"
-        iWp, bgp, sWp, sW2p = pad_gru_params(
-            params[f"{pre}_iW"], params[f"{pre}_b"], params[f"{pre}_sW"],
-            params[f"{pre}_sW2"], in_pad=x.shape[-1])
-        x = gru_layer_fused_tm(x, iWp, bgp, sWp, sW2p, reverse=(d == "b"),
-                               prec_name=prec_name)
+    x = _rgrgr_features_tm(params, sig, conv_activation, stride, prec_name)
 
     # Fused-head time unroll, measured on v5e (scripts/roofline.py
     # sweep + bench A/B): bf16 prefers ct=8 (+4%), the exact-f32 path
@@ -180,32 +212,13 @@ def _raw_basecall_fused(params, sig, *, stride: int = 4, min_prob=1e-5,
                         prec_name: str | None = None,
                         with_qual: bool = False,
                         fast_expand: bool = False):
-    from scrappie_tpu.models.forward import _ff2_tanh_padded
-
     B = sig.shape[0]
     pad = (-B) % 8
     if pad:
         sig = jnp.pad(sig, ((0, pad), (0, 0), (0, 0)))
 
-    W = params["conv_W"]
-    cpad = _round_up(W.shape[2], LANE) - W.shape[2]
-    Wp = jnp.pad(W, ((0, 0), (0, 0), (0, cpad)))
-    bp = jnp.pad(params["conv_b"], (0, cpad))
-    # tanh keeps the zero pad lanes exactly zero
-    x = jnp.tanh(conv1d(sig, Wp, bp, int(stride)))
-    x = jnp.moveaxis(x, 0, 1)  # [nblock, B, 128]
-
-    for layer in (1, 2):
-        hs = {}
-        for d, rev in (("F", False), ("B", True)):
-            pre = f"gru{d}{layer}"
-            iWp, bgp, sWp, sW2p = pad_gru_params(
-                params[f"{pre}_iW"], params[f"{pre}_b"], params[f"{pre}_sW"],
-                params[f"{pre}_sW2"], in_pad=x.shape[-1])
-            hs[d] = gru_layer_fused_tm(x, iWp, bgp, sWp, sW2p, reverse=rev,
-                                       prec_name=prec_name)
-        x = _ff2_tanh_padded(hs["F"], hs["B"], params[f"FF{layer}_Wf"],
-                             params[f"FF{layer}_Wb"], params[f"FF{layer}_b"])
+    # tanh conv keeps the zero pad lanes exactly zero
+    x = _raw_features_tm(params, sig, stride, prec_name)
 
     cts = (8, 4, 2, 1) if prec_name == "default" else (4, 2, 1)
     ct = next(c for c in cts if x.shape[0] % c == 0)
@@ -328,4 +341,163 @@ def _rnnrf_basecall_fused(params, sig, *, conv_activation: str = "elu",
     # to decode/crf._crf_viterbi, without the lax.scan's per-step loop
     # machinery or the associative scan's 25x lane-padded [B,T,5,5]
     # prefix maps (which blow HBM at bench-scale batches).
+    return crf_viterbi_kernel(trans)
+
+
+def _fused_quality_stream_ens(xs, Ws, bvecs, weights, path, *,
+                              min_prob=1e-5, tempW=1.0, tempb=1.0,
+                              klen: int = 5):
+    """Ensemble twin of _fused_quality_stream: the per-entry base
+    marginals come from the COMBINED posterior sum_k w_k*robustlog(p_k)
+    renormalised over the kmer states — entry-for-entry what the
+    stitch-mode ensemble's transducer_qualities computes from the
+    combined whole-read posterior (the global per-block normaliser
+    cancels in the kmer-lane renormalisation)."""
+    from scrappie_tpu.nn.layers import softmax_with_temperature
+
+    T, B, _ = xs[0].shape
+    nstate = Ws[0].shape[1]
+    nkmer = nstate - 1
+    acc = None
+    for k, (x, W, bvec) in enumerate(zip(xs, Ws, bvecs)):
+        Wp = jnp.pad(W, ((0, x.shape[-1] - W.shape[0]), (0, 0)))
+        post = softmax_with_temperature(x, Wp, bvec, tempW, tempb)
+        lk = weights[k] * jnp.log(
+            min_prob / nstate + (1.0 - min_prob) * post[..., :nkmer])
+        acc = lk if acc is None else acc + lk
+    mx = jnp.max(acc, axis=-1, keepdims=True)
+    pk = jnp.exp(acc - mx)
+    msum = pk.sum(-1)  # [T, B] kmer normaliser
+    pk = pk.reshape((T, B) + (4,) * klen)
+    marg = jnp.stack(
+        [pk.sum(axis=tuple(a for a in range(2, klen + 2) if a != j + 2))
+         for j in range(klen)], axis=2)
+
+    rows = jnp.clip(jnp.arange(path.shape[1]) - 1, 0, T - 1)
+    kmer = jnp.clip(path, 0, nkmer - 1).astype(jnp.int32)
+    shifts = 2 * (klen - 1 - jnp.arange(klen))
+    digits = (kmer[:, :, None] >> shifts[None, None, :]) & 3
+    marg_e = jnp.moveaxis(marg[rows], 1, 0)
+    q = jnp.take_along_axis(marg_e, digits[..., None], axis=-1)[..., 0]
+    q = q / jnp.moveaxis(msum[rows], 1, 0)[:, :, None]
+    perr = jnp.clip(1.0 - q, 1e-6, 1.0)
+    phred = jnp.clip(jnp.round(-10.0 * jnp.log10(perr)), 0, 93) + 33
+    return phred.astype(jnp.uint8)
+
+
+_HEAD_KEYS = {"rgrgr": ("FF_W", "FF_b"), "raw": ("FF3_W", "FF3_b")}
+
+
+def ensemble_basecall_fused(params_list, weights, sig, **kwargs):
+    """Transducer-ensemble fast path: run the K member stacks in one
+    device program and combine their log posteriors in VMEM before the
+    fused head+Viterbi (ops/viterbi.viterbi_fused_ens_tm).
+
+    sig [B, T, 1] -> (logscore [B], path [B, nblock+1] int32[, qual]).
+    kinds/conv_activations are per-member static tuples (primary
+    first); every member must share the primary's stride and state
+    space, as models/ensemble.validate_ensemble enforces.  Sequences
+    match the stitch-mode ensemble's per-chunk decode (same combined
+    posterior, same Viterbi); the reference runs one network per call
+    (ref src/scrappie_raw.c:199-210) and has no ensemble at all.
+    """
+    from scrappie_tpu.ops import fast_expand_enabled, kernel_precision_name
+
+    kwargs.setdefault("prec_name", kernel_precision_name())
+    kwargs.setdefault("fast_expand", fast_expand_enabled())
+    return _ensemble_basecall_fused(
+        tuple(params_list), jnp.asarray(weights, jnp.float32), sig, **kwargs)
+
+
+@functools.partial(jax.jit, static_argnames=("kinds", "conv_activations",
+                                             "stride", "use_slip",
+                                             "prec_name", "with_qual",
+                                             "fast_expand"))
+def _ensemble_basecall_fused(params_tuple, weights, sig, *,
+                             kinds: tuple[str, ...],
+                             conv_activations: tuple[str, ...],
+                             stride: int = 5, min_prob=1e-5, tempW=1.0,
+                             tempb=1.0, stay_pen=0.0, skip_pen=0.0,
+                             local_pen=2.0, use_slip: bool = False,
+                             prec_name: str | None = None,
+                             with_qual: bool = False,
+                             fast_expand: bool = False):
+    from scrappie_tpu.ops.viterbi import viterbi_fused_ens_tm
+
+    B = sig.shape[0]
+    pad = (-B) % 8
+    if pad:
+        sig = jnp.pad(sig, ((0, pad), (0, 0), (0, 0)))
+
+    xs, Ws, bs = [], [], []
+    for p, kind, ca in zip(params_tuple, kinds, conv_activations):
+        if kind == "rgrgr":
+            xs.append(_rgrgr_features_tm(p, sig, ca, stride, prec_name))
+        elif kind == "raw":
+            xs.append(_raw_features_tm(p, sig, stride, prec_name))
+        else:
+            raise ValueError(f"fused ensemble supports transducer kinds "
+                             f"only, got {kind!r}")
+        wk, bk = _HEAD_KEYS[kind]
+        Ws.append(p[wk])
+        bs.append(jnp.asarray(p[bk], jnp.float32))
+    Sp = max(x.shape[-1] for x in xs)
+    xs = [x if x.shape[-1] == Sp else
+          jnp.pad(x, ((0, 0), (0, 0), (0, Sp - x.shape[-1]))) for x in xs]
+    Sw = max(W.shape[0] for W in Ws)
+    Wstack = jnp.stack([jnp.pad(W, ((0, Sw - W.shape[0]), (0, 0)))
+                        for W in Ws])
+    bstack = jnp.stack(bs)
+    h = jnp.stack(xs)  # [K, T, B8, Sp]
+
+    # K members multiply the kernel's W + h VMEM footprint; the
+    # single-model bf16 ct=8 point exceeds VMEM at K=3, so cap at 4.
+    ct = next(c for c in (4, 2, 1) if h.shape[1] % c == 0)
+    final, tb = viterbi_fused_ens_tm(
+        h, Wstack, bstack, weights, min_prob=min_prob, tempW=tempW,
+        tempb=tempb, stay_pen=stay_pen, skip_pen=skip_pen,
+        local_pen=local_pen, use_slip=use_slip, ct=ct, prec_name=prec_name,
+        fast_expand=fast_expand)
+    score, path = viterbi_backtrace_tm(final, tb)
+    if with_qual:
+        qual = _fused_quality_stream_ens(xs, Ws, bs, weights, path,
+                                         min_prob=min_prob, tempW=tempW,
+                                         tempb=tempb)
+        return score[:B], path[:B], qual[:B]
+    return score[:B], path[:B]
+
+
+def rnnrf_ensemble_basecall_fused(params_list, weights, sig, **kwargs):
+    """CRF-ensemble fast path: the members' [B, nblock, 25] transition
+    energies combine as a weighted arithmetic mean (log-domain product
+    of experts on the shared CRF state space, ref
+    src/decode.c:836-894) before the Pallas CRF Viterbi.  No per-block
+    renormalisation: a CRF is globally normalised, and every path
+    crosses exactly one transition per block, so the decode is
+    invariant to it (VERDICT r4 #2)."""
+    from scrappie_tpu.ops import kernel_precision_name
+
+    kwargs.setdefault("prec_name", kernel_precision_name())
+    return _rnnrf_ensemble_basecall_fused(
+        tuple(params_list), jnp.asarray(weights, jnp.float32), sig, **kwargs)
+
+
+@functools.partial(jax.jit, static_argnames=("conv_activations", "stride",
+                                             "prec_name"))
+def _rnnrf_ensemble_basecall_fused(params_tuple, weights, sig, *,
+                                   conv_activations: tuple[str, ...],
+                                   stride: int = 2, emit_bias=0.0,
+                                   prec_name: str | None = None):
+    from scrappie_tpu.models.forward import rnnrf_transitions_tm
+    from scrappie_tpu.ops.crf import crf_viterbi_kernel
+
+    trans = None
+    for k, (p, ca) in enumerate(zip(params_tuple, conv_activations)):
+        tk = weights[k] * rnnrf_transitions_tm(p, sig, conv_activation=ca,
+                                               stride=int(stride),
+                                               prec_name=prec_name)
+        trans = tk if trans is None else trans + tk
+    ns = 5
+    trans = trans.at[..., : (ns - 1) * ns].add(
+        jnp.asarray(emit_bias, trans.dtype))
     return crf_viterbi_kernel(trans)

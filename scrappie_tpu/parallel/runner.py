@@ -133,10 +133,16 @@ class BasecallEngine:
           classic double buffering: the host builds/stitches group k+1
           while the device crunches group k).  1 = fully synchronous.
 
-        ensemble: extra transducer models whose per-block posteriors
-          are geometrically averaged (weighted log-domain mean,
-          renormalised per block) with the primary model's before
-          decoding — stitch mode only; every member must share the
+        ensemble: extra same-family models whose per-block outputs are
+          combined with the primary model's before decoding —
+          transducers (rgrgr/raw): weighted log-domain posterior mean,
+          renormalised per block; CRF (rnnrf): weighted mean of the 25
+          shared transition energies (models/ensemble.py).  Works in
+          BOTH modes: stitch combines whole-read posteriors exactly;
+          fast runs the K member stacks in one fused device program
+          and combines in VMEM before the fused head+Viterbi
+          (ops/pipeline.ensemble_basecall_fused — the combined
+          posterior never exists in HBM).  Every member must share the
           primary's stride and state space (the block grids must
           align).  Measured on the bundled reads' strictly-held-out
           tails (BASELINE.md "Posterior ensembling"): rgrgr_r94 +
@@ -215,26 +221,39 @@ class BasecallEngine:
 
         fn = _forward_fn(spec)
         self._default_ens_weights = ensemble_weights is None
+        self._ens_w = None
         if ensemble or ensemble_weights is not None:
             from scrappie_tpu.models.ensemble import validate_ensemble
 
-            if mode != "stitch":
-                raise ValueError("ensemble decoding is stitch-mode only "
-                                 "(the fused kernels are single-model)")
             w = validate_ensemble(model, ensemble,
                                   ensemble_weights).astype(np.float32)
+            self._ens_w = w
             member_fns = [_forward_fn(RAW_MODELS[m]) for m in ensemble]
             self._ens_params = tuple(
                 shard_params(registry.load_params(m), self.mesh,
                              state_shard_keys=("FF_W", "FF3_W"))
                 for m in ensemble)
 
-            def _combined(ps, x):
-                lp = w[0] * fn(ps[0], x)
-                for wi, f, p in zip(w[1:], member_fns, ps[1:]):
-                    lp = lp + wi * f(p, x)
-                return lp - jax.scipy.special.logsumexp(
-                    lp, axis=-1, keepdims=True)
+            if spec.kind == "rnnrf":
+                # CRF members combine as a weighted mean of transition
+                # energies (log-domain product of experts on the shared
+                # 25-transition grid, ref src/decode.c:836-894).  No
+                # per-block renormalisation: the CRF is globally
+                # normalised and every path crosses exactly one
+                # transition per block, so the Viterbi decode is
+                # invariant to it.
+                def _combined(ps, x):
+                    t = w[0] * fn(ps[0], x)
+                    for wi, f, p in zip(w[1:], member_fns, ps[1:]):
+                        t = t + wi * f(p, x)
+                    return t
+            else:
+                def _combined(ps, x):
+                    lp = w[0] * fn(ps[0], x)
+                    for wi, f, p in zip(w[1:], member_fns, ps[1:]):
+                        lp = lp + wi * f(p, x)
+                    return lp - jax.scipy.special.logsumexp(
+                        lp, axis=-1, keepdims=True)
 
             jitted = jax.jit(_combined)
             self._posterior = lambda p, x: jitted((p,) + self._ens_params, x)
@@ -324,7 +343,27 @@ class BasecallEngine:
         from scrappie_tpu.ops import pipeline as plops
 
         kind = self.spec.kind
-        if kind == "rgrgr":
+        if self._ens_w is not None and kind in ("rgrgr", "raw", "rnnrf"):
+            specs = [self.spec] + [RAW_MODELS[m] for m in self.ensemble]
+            acts = tuple(getattr(s, "conv_activation", "elu") for s in specs)
+            all_params = lambda p: (p,) + self._ens_params
+            if kind == "rnnrf":
+                inner = ft.partial(
+                    plops.rnnrf_ensemble_basecall_fused,
+                    weights=self._ens_w, conv_activations=acts,
+                    stride=self.spec.stride, emit_bias=float(crf_emit_bias))
+                call = lambda p, x: inner(all_params(p), sig=x)
+            else:
+                inner = ft.partial(
+                    plops.ensemble_basecall_fused,
+                    weights=self._ens_w, kinds=tuple(s.kind for s in specs),
+                    conv_activations=acts, stride=self.spec.stride,
+                    min_prob=self._min_prob, tempW=self._tempW,
+                    tempb=self._tempb, stay_pen=stay_pen, skip_pen=skip_pen,
+                    local_pen=local_pen, use_slip=use_slip,
+                    with_qual=with_qual)
+                call = lambda p, x: inner(all_params(p), sig=x)
+        elif kind == "rgrgr":
             call = ft.partial(
                 plops.rgrgr_basecall_fused,
                 conv_activation=self.spec.conv_activation,

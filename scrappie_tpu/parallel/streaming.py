@@ -104,11 +104,22 @@ def _build_posterior(model: str, min_prob: float, tempW: float, tempb: float,
     w = validate_ensemble(model, ensemble, ensemble_weights)
     members = [one(m) for m in ensemble]
 
-    def combined(ps, x):
-        lp = np.float32(w[0]) * fn(ps[0], x)
-        for wi, (_, f), p in zip(w[1:], members, ps[1:]):
-            lp = lp + np.float32(wi) * f(p, x)
-        return lp - jax.scipy.special.logsumexp(lp, axis=-1, keepdims=True)
+    if RAW_MODELS[model].kind == "rnnrf":
+        # CRF family: weighted mean of transition energies, no
+        # renormalisation (globally-normalised model; per-block
+        # constants cancel in the Viterbi — models/ensemble.py)
+        def combined(ps, x):
+            t = np.float32(w[0]) * fn(ps[0], x)
+            for wi, (_, f), p in zip(w[1:], members, ps[1:]):
+                t = t + np.float32(wi) * f(p, x)
+            return t
+    else:
+        def combined(ps, x):
+            lp = np.float32(w[0]) * fn(ps[0], x)
+            for wi, (_, f), p in zip(w[1:], members, ps[1:]):
+                lp = lp + np.float32(wi) * f(p, x)
+            return lp - jax.scipy.special.logsumexp(lp, axis=-1,
+                                                    keepdims=True)
 
     all_params = (params,) + tuple(p for p, _ in members)
     return all_params, jax.jit(combined)

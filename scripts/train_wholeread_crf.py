@@ -112,6 +112,12 @@ def main():
     ap.add_argument("--init", default=None)
     ap.add_argument("--save", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--init-jitter", type=float, default=0.0,
+                    help="deep-ensemble member diversity: add N(0, "
+                         "jitter*std(tensor)) to every init tensor and "
+                         "shuffle region order by --seed, so "
+                         "independently-seeded runs descend into "
+                         "different minima (VERDICT r4 #2)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -137,6 +143,11 @@ def main():
         params = dict(np.load(args.init))
     else:
         params = registry.load_params(MODEL)
+    if args.init_jitter:
+        jrng = np.random.default_rng(args.seed + 7919)
+        params = {k: np.asarray(v) + args.init_jitter * float(np.std(v))
+                  * jrng.standard_normal(np.shape(v)).astype(np.float32)
+                  for k, v in params.items()}
     params = {k: jnp.asarray(v) for k, v in params.items()}
 
     # Training regions (head 75% of each read, trimmed to chunk blocks).
@@ -210,11 +221,16 @@ def main():
 
     best = (-1.0, None)
     t0 = time.time()
+    order_rng = np.random.default_rng(args.seed + 104729)
+    order = np.arange(len(regions))
     for i in range(args.steps):
-        sig, bases = regions[i % len(regions)]
+        if args.init_jitter and i % len(regions) == 0:
+            order_rng.shuffle(order)
+        ridx = int(order[i % len(regions)])
+        sig, bases = regions[ridx]
         if args.mode == "head":
             head, opt_state, loss = step_fn(head, opt_state,
-                                            jnp.asarray(feats[i % len(regions)]),
+                                            jnp.asarray(feats[ridx]),
                                             jnp.asarray(bases))
         else:
             params, opt_state, loss = step_fn(params, opt_state,

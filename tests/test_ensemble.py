@@ -129,15 +129,121 @@ def test_streaming_ensemble_matches_solo_and_engine_posterior():
         StreamingBasecaller("rgrgr_r94", 2000, 400, ensemble=("raw_r94",))
 
 
+def test_fused_ensemble_kernel_matches_composed_decode():
+    """viterbi_fused_ens_tm == (combine member posteriors, then
+    viterbi_scores_tm): the in-VMEM combination is the same program."""
+    from scrappie_tpu.models import forward, registry
+    from scrappie_tpu.models.specs import RAW_MODELS
+    from scrappie_tpu.ops.pipeline import ensemble_basecall_fused
+    from scrappie_tpu.ops.viterbi import (viterbi_backtrace_tm,
+                                          viterbi_scores_tm)
+
+    models = ("rgrgr_r94", "rgrgr_r941", "rgrgr_r10")
+    w = np.array([3.0, 1.0, 1.0]); w /= w.sum()
+    rng = np.random.default_rng(3)
+    sig = jnp.asarray(rng.standard_normal((2, 400, 1)), jnp.float32)
+
+    lps = []
+    ps = []
+    for m in models:
+        spec = RAW_MODELS[m]
+        params = {k: jnp.asarray(v)
+                  for k, v in registry.load_params(m).items()}
+        ps.append(params)
+        lps.append(np.asarray(forward.rgrgr_posterior(
+            params, sig, conv_activation=spec.conv_activation,
+            stride=spec.stride, min_prob=1e-5, return_log=True)))
+    lp = sum(wi * l for wi, l in zip(w, lps))
+    lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+    final, tb = viterbi_scores_tm(jnp.moveaxis(jnp.asarray(lp), 0, 1),
+                                  0.3, 0.2, 2.0)
+    want_score, want_path = viterbi_backtrace_tm(final, tb)
+
+    acts = tuple(RAW_MODELS[m].conv_activation for m in models)
+    got_score, got_path = ensemble_basecall_fused(
+        ps, w, sig, kinds=("rgrgr",) * 3, conv_activations=acts,
+        stride=5, stay_pen=0.3, skip_pen=0.2)
+    np.testing.assert_array_equal(np.asarray(got_path), np.asarray(want_path))
+    np.testing.assert_allclose(np.asarray(got_score), np.asarray(want_score),
+                               atol=2e-4)
+
+
+def test_fast_ensemble_engine_matches_stitch():
+    """Engine fast mode with an ensemble == stitch mode with the same
+    ensemble (single-chunk reads: identical combined posterior, same
+    Viterbi), including calibrated FASTQ qualities."""
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.train.simulate import SquiggleSimulator
+    from scrappie_tpu.types import RawSignal
+
+    sim = SquiggleSimulator(seed=13)
+    signals = [RawSignal(np.asarray(sim.simulate_read(350)[0], np.float32),
+                         uuid=f"r{i}") for i in range(3)]
+    kw = dict(batch_size=4, chunk_len=4000, overlap=500,
+              ensemble=("rgrgr_r941", "rgrgr_r10"),
+              qual_calibration="real")
+    stitch = BasecallEngine("rgrgr_r94", mode="stitch", **kw)
+    fast = BasecallEngine("rgrgr_r94", mode="fast", **kw)
+    rs = stitch.basecall_signals(signals, trim_start=0, trim_end=0,
+                                 varseg_thresh=0.0, with_qualities=True)
+    rf = fast.basecall_signals(signals, trim_start=0, trim_end=0,
+                               varseg_thresh=0.0, with_qualities=True)
+    assert any(r.sequence for r in rs)
+    for a, b in zip(rs, rf):
+        assert a.sequence == b.sequence
+        assert a.qual == b.qual
+
+
+def test_rnnrf_self_ensemble_matches_solo():
+    """CRF ensembling: a self-ensemble (rnnrf_r94 + rnnrf_r94) is the
+    identity combination — transitions equal the solo model's (weights
+    normalise to 1) and both modes decode the same call."""
+    from scrappie_tpu.models import forward, registry
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.train.simulate import SquiggleSimulator
+    from scrappie_tpu.types import RawSignal
+
+    eng = BasecallEngine("rnnrf_r94", batch_size=4,
+                         ensemble=("rnnrf_r94",),
+                         ensemble_weights=(1.0, 1.0))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 200, 1)), jnp.float32)
+    params = {k: jnp.asarray(v)
+              for k, v in registry.load_params("rnnrf_r94").items()}
+    want = np.asarray(forward.rnnrf_transitions(params, x, stride=2))
+    got = np.asarray(eng._posterior(eng.params, x))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # transitions are NOT per-block distributions; no renorm applied
+    assert not np.allclose(np.exp(got).sum(-1), 1.0, atol=0.1)
+
+    sim = SquiggleSimulator(seed=21)
+    sig = RawSignal(np.asarray(sim.simulate_read(300)[0], np.float32),
+                    uuid="c")
+    solo = BasecallEngine("rnnrf_r94", batch_size=4)
+    r_solo = solo.basecall_signals([sig], trim_start=0, trim_end=0,
+                                   varseg_thresh=0.0)[0]
+    r_ens = eng.basecall_signals([sig], trim_start=0, trim_end=0,
+                                 varseg_thresh=0.0)[0]
+    assert r_solo.sequence and r_ens.sequence == r_solo.sequence
+    fast = BasecallEngine("rnnrf_r94", batch_size=4, mode="fast",
+                          ensemble=("rnnrf_r94",),
+                          ensemble_weights=(1.0, 1.0))
+    r_fast = fast.basecall_signals([sig], trim_start=0, trim_end=0,
+                                   varseg_thresh=0.0)[0]
+    assert r_fast.sequence == r_solo.sequence
+
+
 def test_ensemble_rejects_bad_configs():
     from scrappie_tpu.parallel.runner import BasecallEngine
 
-    with pytest.raises(ValueError, match="stitch-mode only"):
-        BasecallEngine("rgrgr_r94", mode="fast", ensemble=("rgrgr_r10",))
     with pytest.raises(ValueError, match="block grids must align"):
         BasecallEngine("rgrgr_r94", ensemble=("raw_r94",))  # stride 4 vs 5
-    with pytest.raises(ValueError, match="transducer"):
+    # families never mix: CRF transitions and transducer posteriors
+    # live on different state spaces
+    with pytest.raises(ValueError, match="family"):
         BasecallEngine("rnnrf_r94", ensemble=("rgrgr_r10",))
+    with pytest.raises(ValueError, match="family"):
+        BasecallEngine("rgrgr_r94", ensemble=("rnnrf_r94",))
     with pytest.raises(ValueError, match="one weight per model"):
         BasecallEngine("rgrgr_r94", ensemble=("rgrgr_r10",),
                        ensemble_weights=(1.0,))
