@@ -162,7 +162,7 @@ def _decode_post_transducer(post: Posterior, stay_pen=0.0, skip_pen=0.0,
     if skip_pen > 0:
         from scrappie_tpu.models.calibration import collapsed
 
-        if collapsed(len(seq or ""), nblock):
+        if collapsed(len(seq or ""), nblock, post.model):
             from scrappie_tpu.utils.tracing import log
 
             log("warn", "decode collapsed; re-decoding with skip_pen=0",
@@ -222,7 +222,8 @@ def basecall_raw(data, model: str = "rgrgr_r94", with_base_probs: bool = False,
     if calibration != "reference":
         from scrappie_tpu.models import calibration as _calibration
 
-        for key, value in _calibration.preset(model, calibration).items():
+        for key, value in _calibration.preset(model, calibration,
+                                              tuple(ensemble)).items():
             # the CRF decoder spells the emit-bias knob `emit_bias`
             kwargs.setdefault("emit_bias" if key == "crf_emit_bias" else key,
                               value)
@@ -307,7 +308,7 @@ def basecall_events(data, *, trim_start=200, trim_end=10, varseg_chunk=100,
     if skip_pen > 0:
         from scrappie_tpu.models.calibration import collapsed
 
-        if collapsed(len(seq or ""), nev):
+        if collapsed(len(seq or ""), nev, "nanonet_events"):
             from scrappie_tpu.utils.tracing import log
 
             log("warn", "events decode collapsed; re-decoding with skip_pen=0",

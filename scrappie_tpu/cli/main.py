@@ -313,7 +313,8 @@ def main_raw(args) -> int:
     )
     from scrappie_tpu.models import calibration
 
-    calibration.apply(args.model, args.calibration, call_kwargs)
+    calibration.apply(args.model, args.calibration, call_kwargs,
+                      ensemble=ensemble)
     fh = _out(args)
     nread = 0
 

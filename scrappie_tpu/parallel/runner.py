@@ -644,7 +644,8 @@ class BasecallEngine:
             from scrappie_tpu.models.calibration import collapsed
 
             redo = [i for i, r in enumerate(results)
-                    if r.nblock and collapsed(len(r.sequence or ""), r.nblock)]
+                    if r.nblock and collapsed(len(r.sequence or ""), r.nblock,
+                                              self.model)]
             if redo:
                 from scrappie_tpu.utils.tracing import log
 

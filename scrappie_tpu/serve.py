@@ -104,7 +104,9 @@ class BasecallService:
         if calibration != "reference":
             from scrappie_tpu.models import calibration as _calibration
 
-            for key, value in _calibration.preset(self.model, calibration).items():
+            members = tuple(getattr(self.engine, "ensemble", ()) or ())
+            for key, value in _calibration.preset(self.model, calibration,
+                                                  members).items():
                 opts.setdefault(key, value)
         sig = np.asarray(signal, dtype=np.float32).ravel()
         fut: Future = Future()

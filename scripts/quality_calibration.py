@@ -68,12 +68,69 @@ def correctness(call: str, truth: str) -> np.ndarray:
     return ok
 
 
+def bins(q: np.ndarray, ok: np.ndarray, min_bases: int = 50):
+    """[(bin centre, empirical Q, bases)] over 4-wide predicted-Q bins."""
+    out = []
+    for lo in range(0, 40, 4):
+        m = (q >= lo) & (q < lo + 4)
+        if m.sum() < min_bases:
+            continue
+        err = max(1.0 - ok[m].mean(), 1e-4)
+        out.append((lo + 2.0, -10.0 * np.log10(err), int(m.sum())))
+    return out
+
+
+def fit(binned):
+    x, y, w = zip(*binned)
+    return np.polyfit(x, y, 1, w=np.sqrt(w))
+
+
+def loo_transfer(per_read):
+    """Leave-one-read-out: fit the Phred map on all OTHER reads,
+    report per-bin |predicted empirical Q - actual empirical Q| on the
+    held-out read (VERDICT r4 #7: the shipped fit was measured on the
+    same two reads it was fitted on).  Returns the worst per-bin
+    transfer error across folds."""
+    worst = 0.0
+    for i, (name, qi, oki) in enumerate(per_read):
+        rest_q = np.concatenate([q for j, (_, q, _) in enumerate(per_read)
+                                 if j != i])
+        rest_ok = np.concatenate([ok for j, (_, _, ok) in
+                                  enumerate(per_read) if j != i])
+        train_bins = bins(rest_q, rest_ok)
+        if len(train_bins) < 2:
+            print(f"  fold {name}: too few train bins; skipped")
+            continue
+        a, b = fit(train_bins)
+        errs = []
+        for x, emp, n in bins(qi, oki):
+            pred = a * x + b
+            errs.append((abs(pred - emp), x, pred, emp, n))
+        if not errs:
+            print(f"  fold {name}: no populated held-out bins")
+            continue
+        for e, x, pred, emp, n in errs:
+            print(f"  fold {name}: bin Q{x - 2:.0f}-{x + 1:.0f} "
+                  f"fit-predicts Q{pred:4.1f}, actual Q{emp:4.1f} "
+                  f"(|dQ| {e:4.1f}, {n} bases)")
+        fold_worst = max(e for e, *_ in errs)
+        print(f"  fold {name}: fit a={a:.3f} b={b:.2f}, "
+              f"worst per-bin transfer error {fold_worst:.1f}Q")
+        worst = max(worst, fold_worst)
+    return worst
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="rgrgr_r94")
     ap.add_argument("--ensemble", default=None, metavar="MODELS",
                     help="fit the ensemble configuration's qualities "
                          "(comma-separated members, as the CLI flag)")
+    ap.add_argument("--loo", action="store_true", default=False,
+                    help="leave-one-read-out transfer check: fit the "
+                         "linear map on the other read(s), report "
+                         "per-bin empirical-Q error on the held-out "
+                         "read (ship the fit only if <= ~2Q per bin)")
     ap.add_argument("pairs", nargs="*", metavar="fast5:truth.fa")
     args = ap.parse_args()
 
@@ -89,6 +146,7 @@ def main():
 
     eng = BasecallEngine(args.model, batch_size=8,
                          ensemble=parse_members(args.ensemble))
+    per_read = []
     qs, oks = [], []
     # events: dwell correction changes the basecall length, which drops
     # per-base qualities (runner warns) — score the uncorrected call
@@ -105,6 +163,7 @@ def main():
         q = np.frombuffer(qual.encode(), np.uint8).astype(np.int64) - 33
         qs.append(q)
         oks.append(ok)
+        per_read.append((os.path.basename(f5), q, ok))
         print(f"[{os.path.basename(f5)}] {len(call)} bases, "
               f"error rate {1 - ok.mean():.4f} "
               f"(mean predicted Q {q.mean():.1f})")
@@ -137,6 +196,15 @@ def main():
     print(f"overall: {len(q)} scored bases, error {overall_err:.4f} "
           f"(Q{-10*np.log10(overall_err):.1f}), "
           f"mean predicted Q {q.mean():.1f}")
+
+    if args.loo:
+        if len(per_read) < 2:
+            sys.exit("--loo needs at least two scored reads")
+        print("\nleave-one-read-out transfer check:")
+        worst = loo_transfer(per_read)
+        verdict = "OK (<= 2Q)" if worst <= 2.0 else "POOR (> 2Q)"
+        print(f"worst per-bin transfer error across folds: "
+              f"{worst:.1f}Q -> {verdict}")
 
 
 if __name__ == "__main__":

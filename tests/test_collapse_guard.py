@@ -30,6 +30,65 @@ def test_collapsed_predicate():
     assert collapsed(int(COLLAPSE_BASES_PER_BLOCK * 1000) - 1, 1000)
 
 
+def test_partial_collapse_model_aware():
+    """The model-aware trigger (VERDICT r4 #3): the measured ch228
+    PARTIAL ensemble collapse (1,168 bases / 5,778 blocks = 0.202
+    bases/block) sits 4x above the absolute threshold but below
+    COLLAPSE_FRACTION of the flagship's measured healthy prior."""
+    from scrappie_tpu.models.calibration import EXPECTED_BASES_PER_BLOCK
+
+    assert not collapsed(1168, 5778)          # the old guard missed it...
+    assert collapsed(1168, 5778, "rgrgr_r94")  # ...the prior catches it
+    # the healthy single-model ch228 call (1,932 bases) passes
+    assert not collapsed(1932, 5778, "rgrgr_r94")
+    # every measured healthy rate clears its own model's trigger
+    for m, e in EXPECTED_BASES_PER_BLOCK.items():
+        assert not collapsed(int(e * 1000), 1000, m), m
+    # unknown models keep the absolute fallback
+    assert not collapsed(60, 1000, "mystery_model")
+    assert collapsed(40, 1000, "mystery_model")
+
+
+@pytest.mark.slow
+def test_ensemble_partial_collapse_on_ch228_guarded(reads_dir, monkeypatch,
+                                                    capsys):
+    """The measured round-4 failure end-to-end: ensemble + full
+    (0.5, 0.5) preset on ch228 part-collapsed to 1,168 bases
+    (BASELINE.md robustness caveat) below the old guard's threshold.
+    The model-aware guard must now catch it and re-decode to the
+    robust ~1,845-base call."""
+    from scrappie_tpu.io.fast5 import read_raw
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.types import RawSignal
+
+    monkeypatch.setenv("SCRAPPIE_TPU_LOG", "warn")
+    rs = read_raw(reads_dir / "read_ch228_file118.fast5", scale_to_pA=True)
+    eng = BasecallEngine("rgrgr_r94", batch_size=8,
+                         ensemble=("rgrgr_r941", "rgrgr_r10"))
+    res = eng.basecall_signals([RawSignal(rs.raw, uuid="ch228")],
+                               stay_pen=0.5, skip_pen=0.5)[0]
+    err = capsys.readouterr().err
+    assert "re-decoding with skip_pen=0" in err
+    assert len(res.sequence or "") > 1700, len(res.sequence or "")
+
+
+def test_ensemble_real_preset_is_robust_by_default():
+    """--ensemble + --calibration real defaults to (stay, skip=0): the
+    config that is robust on the OOD read and still beats every
+    single-model config on the tails (VERDICT r4 #3)."""
+    from scrappie_tpu.models import calibration
+
+    solo = calibration.apply("rgrgr_r94", "real", {})
+    assert solo == {"stay_pen": 0.5, "skip_pen": 0.5}
+    ens = calibration.apply("rgrgr_r94", "real", {},
+                            ensemble=("rgrgr_r941", "rgrgr_r10"))
+    assert ens == {"stay_pen": 0.5, "skip_pen": 0.0}
+    # an explicit user skip_pen always wins over the robust default
+    explicit = calibration.apply("rgrgr_r94", "real", {"skip_pen": 0.7},
+                                 ensemble=("rgrgr_r941",))
+    assert explicit["skip_pen"] == 0.7
+
+
 def test_decode_post_guard_redecodes(monkeypatch, capsys):
     """A posterior crafted to collapse under a huge skip_pen decodes
     sanely through the guard (and warns)."""
