@@ -255,6 +255,42 @@ def main():
             times.append(time.perf_counter() - t0)
         return groups * batch * T_EV / min(times)
 
+    def measure_ensemble(prec_name="default"):
+        """Fused 3:1:1 rgrgr ensemble fast path (round 5): the K member
+        stacks run in one device program, posteriors combine in VMEM
+        before the fused head+Viterbi (ops/pipeline.ensemble_basecall_
+        fused) — the production --ensemble --fast configuration."""
+        import functools
+
+        from scrappie_tpu.ops.pipeline import ensemble_basecall_fused
+
+        models = ("rgrgr_r94", "rgrgr_r941", "rgrgr_r10")
+        w = np.array([3.0, 1.0, 1.0], np.float32)
+        w /= w.sum()
+        plist = tuple({k: jnp.asarray(v)
+                       for k, v in registry.load_params(m).items()}
+                      for m in models)
+        acts = tuple(RAW_MODELS[m].conv_activation for m in models)
+        fused = functools.partial(ensemble_basecall_fused,
+                                  kinds=("rgrgr",) * 3,
+                                  conv_activations=acts, stride=5,
+                                  prec_name=prec_name)
+
+        @jax.jit
+        def pipe(plist, sigs):
+            return jax.lax.map(lambda s: fused(plist, w, s), sigs)
+
+        for _ in range(warmup):
+            score, _ = pipe(plist, sigs)
+            np.asarray(score.ravel()[0])
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            score, _ = pipe(plist, sigs)
+            np.asarray(score.ravel()[0])
+            times.append(time.perf_counter() - t0)
+        return groups * batch * CHUNK_LEN / min(times)
+
     result = {
         "metric": "rgrgr_r94 raw samples/sec/chip (fused conv+GRU+posterior+Viterbi decode, bf16 fast path)",
         "value": round(sps, 1),
@@ -275,6 +311,8 @@ def main():
             # events over 80,790 trimmed samples — BASELINE.md round 4)
             result["nanonet_events_samples_per_sec"] = round(
                 ev_per_sec * 5.0, 1)
+            result["ensemble_3model_samples_per_sec"] = round(
+                measure_ensemble(), 1)
     if not on_device:
         result["platform"] = "cpu"
         result["precision"] = "f32 (precision flags are no-ops on the CPU backend)"

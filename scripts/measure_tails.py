@@ -36,7 +36,13 @@ def tail_identity(model: str) -> float:
                                              load_labelled_reads)
 
     params = {k: jnp.asarray(v) for k, v in registry.load_params(model).items()}
-    sampler = RealReadSampler(load_labelled_reads("rgrgr_r94"), seed=0)
+    reads = load_labelled_reads("rgrgr_r94")
+    if model == "nanonet_events":
+        from scrappie_tpu.train.realdata import RealEventSampler
+
+        sampler = RealEventSampler(reads, seed=0)
+    else:
+        sampler = RealReadSampler(reads, seed=0)
     idents = []
     for ridx in range(len(sampler.reads)):
         if model == "nanonet_events":
