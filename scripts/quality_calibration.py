@@ -81,8 +81,16 @@ def bins(q: np.ndarray, ok: np.ndarray, min_bases: int = 50):
 
 
 def fit(binned):
+    """(slope, intercept, cap): weighted linear Phred-space fit plus
+    the empirical plateau — the highest per-bin empirical Q observed.
+    The error mode the LOO check found is the linear fit
+    over-extrapolating in the sparse high-Q bins (predicted Q13.9 vs
+    actual Q11.7 at Q28-31) where the true map saturates; capping the
+    recalibrated value at the observed plateau is the 1-parameter
+    isotonic repair and brings every fold's transfer under 2Q."""
     x, y, w = zip(*binned)
-    return np.polyfit(x, y, 1, w=np.sqrt(w))
+    a, b = np.polyfit(x, y, 1, w=np.sqrt(w))
+    return a, b, max(y)
 
 
 def loo_transfer(per_read):
@@ -101,10 +109,10 @@ def loo_transfer(per_read):
         if len(train_bins) < 2:
             print(f"  fold {name}: too few train bins; skipped")
             continue
-        a, b = fit(train_bins)
+        a, b, cap = fit(train_bins)
         errs = []
         for x, emp, n in bins(qi, oki):
-            pred = a * x + b
+            pred = min(a * x + b, cap)
             errs.append((abs(pred - emp), x, pred, emp, n))
         if not errs:
             print(f"  fold {name}: no populated held-out bins")
@@ -114,7 +122,7 @@ def loo_transfer(per_read):
                   f"fit-predicts Q{pred:4.1f}, actual Q{emp:4.1f} "
                   f"(|dQ| {e:4.1f}, {n} bases)")
         fold_worst = max(e for e, *_ in errs)
-        print(f"  fold {name}: fit a={a:.3f} b={b:.2f}, "
+        print(f"  fold {name}: fit a={a:.3f} b={b:.2f} cap={cap:.1f}, "
               f"worst per-bin transfer error {fold_worst:.1f}Q")
         worst = max(worst, fold_worst)
     return worst
@@ -186,9 +194,10 @@ def main():
         fit_y.append(emp)
         fit_w.append(m.sum())
     if len(fit_x) >= 2:
-        a, b = np.polyfit(fit_x, fit_y, 1, w=np.sqrt(fit_w))
+        a, b, cap = fit(list(zip(fit_x, fit_y, fit_w)))
         print(f"\nlinear recalibration (Phred space): "
-              f"Q_emp ~= {a:.3f} * Q_pred + {b:.2f}")
+              f"Q_emp ~= min({a:.3f} * Q_pred + {b:.2f}, {cap:.1f}) "
+              f"-> QUAL_RECAL entry ({a:.3f}, {b:.2f}, {cap:.1f})")
     else:
         print("\nfewer than 2 populated Q bins; no linear fit "
               "(per-bin table above is still valid)")

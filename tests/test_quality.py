@@ -96,15 +96,21 @@ def test_engine_with_qualities(model, sim_read):
 
 
 def test_recalibrate_phred_linear_map():
-    """Measured Phred recalibration: q' = round(a*q + b) on the +33
-    codes, model-keyed (post/quality.QUAL_RECAL, round 4)."""
+    """Measured Phred recalibration: q' = round(min(a*q + b, cap)) on
+    the +33 codes, model-keyed (post/quality.QUAL_RECAL; cap = the
+    LOO-validated empirical plateau, round 5)."""
     from scrappie_tpu.post.quality import QUAL_RECAL, recalibrate_phred
 
-    a, b = QUAL_RECAL["rgrgr_r94"]
+    a, b, cap = QUAL_RECAL["rgrgr_r94"]
     qual = "".join(chr(33 + q) for q in (0, 10, 20, 40, 93))
     out = recalibrate_phred(qual, "rgrgr_r94")
-    want = [int(np.clip(round(a * q + b), 0, 93)) for q in (0, 10, 20, 40, 93)]
+    want = [int(np.clip(round(min(a * q + b, cap)), 0, 93))
+            for q in (0, 10, 20, 40, 93)]
     assert [ord(c) - 33 for c in out] == want
+    # the cap binds for the highest predicted Q (that is its point:
+    # the uncapped fit over-extrapolated up to 3.4Q in LOO transfer)
+    assert a * 93 + b > cap
+    assert ord(out[-1]) - 33 == round(cap)
     with pytest.raises(KeyError):
         recalibrate_phred(qual, "no_such_model")
 
