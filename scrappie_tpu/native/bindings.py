@@ -37,6 +37,11 @@ _lib.stpu_dwell_overlapper.argtypes = [
 _lib.stpu_find_runs.restype = _i64
 _lib.stpu_find_runs.argtypes = [_i32p, _i64, ctypes.c_int, _i64p, _i64p, _i64p]
 
+_lib.stpu_detect_tstat.restype = _i64
+_lib.stpu_detect_tstat.argtypes = [
+    _f32p, _i64, _i64, _i64, _f64p, _f64p, _f32p, _f32p,
+]
+
 
 def peak_detector(tstat1, tstat2, threshold1, threshold2, window1, window2,
                   peak_height) -> np.ndarray:
@@ -68,6 +73,21 @@ def dwell_overlapper(path, dwell, klen: int, scale: float,
     if ln < 0:
         return None
     return buf.raw[:ln].decode()
+
+
+def detect_tstat(data, window1: int, window2: int):
+    """(sums, sumsqs, tstat1, tstat2): one-pass cumulative statistics
+    + both windowed t-statistics, bit-identical to the numpy port
+    (signal/events.compute_sum_sumsq + compute_tstat)."""
+    data = np.ascontiguousarray(data, np.float32)
+    n = len(data)
+    sums = np.empty(n + 1, np.float64)
+    sumsqs = np.empty(n + 1, np.float64)
+    tstat1 = np.empty(n, np.float32)
+    tstat2 = np.empty(n, np.float32)
+    _lib.stpu_detect_tstat(data, n, window1, window2, sums, sumsqs,
+                           tstat1, tstat2)
+    return sums, sumsqs, tstat1, tstat2
 
 
 def find_runs(path, klen: int):

@@ -18,6 +18,10 @@ def build(force: bool = False) -> pathlib.Path:
         return LIB
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        # no FMA contraction: the t-stat kernel must round every
+        # multiply-add exactly like the numpy reference port
+        # (bit-identical parity, tests/test_signal.py)
+        "-ffp-contract=off",
         str(SRC), "-o", str(LIB),
     ]
     subprocess.run(cmd, check=True, capture_output=True, text=True)

@@ -80,6 +80,60 @@ int64_t stpu_peak_detector(const float* tstat1, const float* tstat2,
     return count;
 }
 
+// ----------------------------------------------------------- t-stat
+
+// One-pass event-detection statistics: float64 cumulative sum /
+// sum-of-squares (element i excludes i; behavioural spec ref
+// src/event_detection.c:35-48) plus BOTH windowed two-sample
+// t-statistics (ref :60-115).  Bit-identical to the numpy port in
+// signal/events.py (same accumulation order, same float32 cast
+// points), ~10x faster: the numpy version walks the arrays ~12 times
+// through temporaries, this walks them twice.  sums/sumsqs must hold
+// n+1 doubles; tstat1/tstat2 hold n floats.
+static void tstat_one(const double* sums, const double* sumsqs, int64_t n,
+                      int64_t w, float* tstat) {
+    for (int64_t i = 0; i < n; ++i) tstat[i] = 0.0f;
+    if (n < 2 * w || w < 2) return;
+    const float wf = (float)w;
+    const double wd = (double)wf;
+    for (int64_t i = w; i <= n - w; ++i) {
+        const double sum1 = sums[i] - (i > w ? sums[i - w] : 0.0);
+        const double sumsq1 = sumsqs[i] - (i > w ? sumsqs[i - w] : 0.0);
+        const float sum2 = (float)(sums[i + w] - sums[i]);
+        const float sumsq2 = (float)(sumsqs[i + w] - sumsqs[i]);
+        const float mean1 = (float)(sum1 / wd);
+        const float mean2 = sum2 / wf;
+        // float arithmetic, left-to-right, matching the numpy
+        // expression's evaluation order exactly
+        float cv = (float)sumsq1 / wf;
+        cv = cv - mean1 * mean1;
+        cv = cv + sumsq2 / wf;
+        cv = cv - mean2 * mean2;
+        const float tiny = std::numeric_limits<float>::min();
+        if (cv < tiny) cv = tiny;
+        const float delta = mean2 - mean1;
+        tstat[i] = std::fabs(delta) / std::sqrt(cv / wf);
+    }
+}
+
+int64_t stpu_detect_tstat(const float* data, int64_t n, int64_t w1,
+                          int64_t w2, double* sums, double* sumsqs,
+                          float* tstat1, float* tstat2) {
+    sums[0] = 0.0;
+    sumsqs[0] = 0.0;
+    double s = 0.0, ss = 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+        const double d = (double)data[i];
+        s += d;
+        ss += d * d;
+        sums[i + 1] = s;
+        sumsqs[i + 1] = ss;
+    }
+    tstat_one(sums, sumsqs, n, w1, tstat1);
+    tstat_one(sums, sumsqs, n, w2, tstat2);
+    return 0;
+}
+
 // ----------------------------------------------------- dwell overlapper
 
 static inline int overlap_len(int64_t k1, int64_t k2, int klen) {

@@ -39,6 +39,18 @@ from scrappie_tpu.ops.viterbi import viterbi_backtrace_tm, viterbi_fused_tm
 _CONV_ACT = {"elu": elu, "tanh": jnp.tanh}
 
 
+def _wire_path(path):
+    """Cast a decoded path to int16 for the device->host transfer.
+
+    Every path entry is a state index < 2^15 (transducer kmers < 1025,
+    CRF states < 25, stays -1), so the cast is exact and halves the
+    dominant transfer of the fast paths (round-5 profile: 52% of the
+    events engine's end-to-end time was device-wait, mostly int32 path
+    bytes over the link).  Callers upcast host-side where int32 is
+    needed."""
+    return path.astype(jnp.int16)
+
+
 def _fused_quality_stream(x_tm, W, bvec, path, *, min_prob=1e-5, tempW=1.0,
                           tempb=1.0, klen: int = 5):
     """Device-side per-entry quality stream for the fused fast paths.
@@ -183,8 +195,8 @@ def _rgrgr_basecall_fused(params, sig, *, conv_activation: str = "elu",
         qual = _fused_quality_stream(x, params["FF_W"], params["FF_b"], path,
                                      min_prob=min_prob, tempW=tempW,
                                      tempb=tempb)
-        return score[:B], path[:B], qual[:B]
-    return score[:B], path[:B]
+        return score[:B], _wire_path(path[:B]), qual[:B]
+    return score[:B], _wire_path(path[:B])
 
 
 def raw_basecall_fused(params, sig, **kwargs):
@@ -232,8 +244,8 @@ def _raw_basecall_fused(params, sig, *, stride: int = 4, min_prob=1e-5,
         qual = _fused_quality_stream(x, params["FF3_W"], params["FF3_b"],
                                      path, min_prob=min_prob, tempW=tempW,
                                      tempb=tempb)
-        return score[:B], path[:B], qual[:B]
-    return score[:B], path[:B]
+        return score[:B], _wire_path(path[:B]), qual[:B]
+    return score[:B], _wire_path(path[:B])
 
 
 def events_basecall_fused(params, feats, **kwargs):
@@ -303,8 +315,8 @@ def _events_basecall_fused(params, feats, *, winlen: int = 3, min_prob=1e-5,
         qual = _fused_quality_stream(x, params["FF3_W"], params["FF3_b"],
                                      path, min_prob=min_prob, tempW=tempW,
                                      tempb=tempb)
-        return score[:B], path[:B], qual[:B]
-    return score[:B], path[:B]
+        return score[:B], _wire_path(path[:B]), qual[:B]
+    return score[:B], _wire_path(path[:B])
 
 
 def rnnrf_basecall_fused(params, sig, **kwargs):
@@ -341,7 +353,8 @@ def _rnnrf_basecall_fused(params, sig, *, conv_activation: str = "elu",
     # to decode/crf._crf_viterbi, without the lax.scan's per-step loop
     # machinery or the associative scan's 25x lane-padded [B,T,5,5]
     # prefix maps (which blow HBM at bench-scale batches).
-    return crf_viterbi_kernel(trans)
+    score, path = crf_viterbi_kernel(trans)
+    return score, _wire_path(path)
 
 
 def _fused_quality_stream_ens(xs, Ws, bvecs, weights, path, *,
@@ -463,8 +476,8 @@ def _ensemble_basecall_fused(params_tuple, weights, sig, *,
         qual = _fused_quality_stream_ens(xs, Ws, bs, weights, path,
                                          min_prob=min_prob, tempW=tempW,
                                          tempb=tempb)
-        return score[:B], path[:B], qual[:B]
-    return score[:B], path[:B]
+        return score[:B], _wire_path(path[:B]), qual[:B]
+    return score[:B], _wire_path(path[:B])
 
 
 def rnnrf_ensemble_basecall_fused(params_list, weights, sig, **kwargs):
@@ -500,4 +513,5 @@ def _rnnrf_ensemble_basecall_fused(params_tuple, weights, sig, *,
     ns = 5
     trans = trans.at[..., : (ns - 1) * ns].add(
         jnp.asarray(emit_bias, trans.dtype))
-    return crf_viterbi_kernel(trans)
+    score, path = crf_viterbi_kernel(trans)
+    return score, _wire_path(path)

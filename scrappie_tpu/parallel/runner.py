@@ -328,16 +328,10 @@ class BasecallEngine:
         raise_pending()  # surface any SCRAPPIE_TPU_VALIDATE layer failures
         return np.concatenate(outs, axis=0)[: all_chunks.shape[0]]
 
-    def _decode_chunks_fused(self, all_chunks: np.ndarray, stay_pen, skip_pen,
-                             local_pen, use_slip, crf_emit_bias=0.0,
-                             with_qual: bool = False):
-        """Fused per-chunk decode: [N, chunk_len] -> (scores [N],
-        paths [N, nblock_chunk+1], quals) without materialising
-        posteriors on the host.  Dispatches to the model kind's fused
-        pipeline (ops/pipeline.py).  quals is a uint8 Phred stream
-        [N, nblock_chunk+1, klen] when with_qual (transducer kinds
-        only), else None."""
-        import collections
+    def _fused_call(self, stay_pen, skip_pen, local_pen, use_slip,
+                    crf_emit_bias=0.0, with_qual: bool = False):
+        """The model kind's fused chunk pipeline (ops/pipeline.py) as a
+        (params, x)->outputs callable; single-model or ensemble."""
         import functools as ft
 
         from scrappie_tpu.ops import pipeline as plops
@@ -390,24 +384,64 @@ class BasecallEngine:
                 plops.rnnrf_basecall_fused,
                 conv_activation=self.spec.conv_activation,
                 stride=self.spec.stride, emit_bias=float(crf_emit_bias))
+        return call
 
+    def _decode_chunks_streamed(self, chunk_iter, call):
+        """Fused per-chunk decode over an ITERATOR of per-read chunk
+        arrays: dispatch a device batch as soon as batch_size chunks
+        accumulate, so host preprocessing of later reads (event
+        detection, trimming, feature prep) overlaps with device compute
+        of earlier batches — the round-5 profile showed the serial
+        prep-then-decode ordering left the device idle through all of
+        prep and the host idle through all of decode.  Returns
+        (scores [N], paths [N, nblock_chunk+1] int32, quals|None);
+        (None, None, None) when the iterator yields nothing.  Paths
+        travel int16 on the wire (ops/pipeline._wire_path) and upcast
+        here."""
+        import collections
+
+        B = self.batch_size
         scores, paths, quals = [], [], []
         pend: collections.deque = collections.deque()
 
         def _collect():
             out = pend.popleft()
             scores.append(np.asarray(out[0]))
-            paths.append(np.asarray(out[1]))
+            paths.append(np.asarray(out[1]).astype(np.int32))
             if len(out) > 2:
                 quals.append(np.asarray(out[2]))
 
-        for x in self._device_batches(all_chunks):
+        def _dispatch(rows):
+            if len(rows) < B:
+                rows = np.concatenate(
+                    [rows, np.zeros((B - len(rows),) + rows.shape[1:],
+                                    np.float32)])
+            if rows.ndim == 2:
+                rows = rows[..., None]
+            x = jax.device_put(rows, self._batch_sharding)
             pend.append(call(self.params, x))
             if len(pend) >= self.pipeline_depth:
                 _collect()
+
+        N = 0
+        buf: list[np.ndarray] = []
+        nbuf = 0
+        for chunks in chunk_iter:
+            N += chunks.shape[0]
+            buf.append(chunks)
+            nbuf += chunks.shape[0]
+            while nbuf >= B:
+                flat = np.concatenate(buf) if len(buf) > 1 else buf[0]
+                _dispatch(flat[:B])
+                rest = flat[B:]
+                buf = [rest] if len(rest) else []
+                nbuf = len(rest)
+        if nbuf:
+            _dispatch(np.concatenate(buf) if len(buf) > 1 else buf[0])
         while pend:
             _collect()
-        N = all_chunks.shape[0]
+        if N == 0:
+            return None, None, None
         return (np.concatenate(scores)[:N], np.concatenate(paths)[:N],
                 np.concatenate(quals)[:N] if quals else None)
 
@@ -673,18 +707,16 @@ class BasecallEngine:
         # only warns and the batch continues, mirroring the reference
         # (ref src/scrappie_raw.c:397-400); exercised by the chaos
         # fault-injection tests.
-        prepped = []
-        plans = []
-        all_chunks = []
-        nchunk_total = 0  # cumulative CHUNK count (reads differ in chunks)
         events_kind = self.spec.kind == "events"
-        for rs in signals:
+
+        def prep_read(rs):
+            """One read's host prep -> ((rt, aux, plan), chunks) or
+            (None, None)."""
             try:
                 rt = trim_and_segment_raw(rs, trim_start, trim_end,
                                           varseg_chunk, varseg_thresh)
                 if rt is None:
-                    prepped.append(None)
-                    continue
+                    return None, None
                 # Opt-in debug validation (SCRAPPIE_TPU_VALIDATE=1):
                 # a non-finite read is caught here and skipped instead
                 # of poisoning the whole device batch (analogue of
@@ -705,8 +737,7 @@ class BasecallEngine:
                     et = detect_events(rt)
                     aux = nanonet_features_from_events(et, normalise=True)
                     if not len(aux):
-                        prepped.append(None)
-                        continue
+                        return None, None
                     checked(aux, f"read.features[{rs.uuid}]")
                     aux = (et, np.asarray(aux, np.float32))
                     n_items = len(aux[1])
@@ -721,22 +752,14 @@ class BasecallEngine:
 
                 log("warn", "read preprocessing failed", uuid=rs.uuid,
                     error=str(e))
-                prepped.append(None)
-                continue
-            prepped.append((rt, aux, plan, nchunk_total))
-            nchunk_total += plan.nchunk
-            plans.append(plan)
-            all_chunks.append(chunklib.extract_chunks(
-                aux[1] if events_kind else aux, plan))
-
-        if not all_chunks:
-            return [
-                ReadResult(rs.uuid, None, float("nan"), 0, None, 0, 0, rs.n)
-                for rs in signals
-            ]
+                return None, None
+            return (rt, aux, plan), chunklib.extract_chunks(
+                aux[1] if events_kind else aux, plan)
 
         # Fast mode: fused per-chunk posterior+decode on device, then
         # path-level stitching — the posterior never reaches the host.
+        # Reads are prepped INSIDE the streamed dispatch loop so host
+        # preprocessing overlaps device compute (_decode_chunks_streamed).
         if self.mode == "fast":
             if homopolymer not in (None, "nochange", HomopolymerMode.NOCHANGE):
                 from scrappie_tpu.utils.tracing import log
@@ -752,11 +775,28 @@ class BasecallEngine:
                 log("warn", "fast mode cannot compute CRF per-base "
                             "qualities (forward-backward needs the "
                             "whole-read transitions); skipping")
+            call = self._fused_call(stay_pen, skip_pen, local_pen, use_slip,
+                                    crf_emit_bias, with_qual=fused_qual)
+            prepped = []
+
+            def chunk_iter():
+                nchunk_total = 0
+                for rs in signals:
+                    entry, chunks = prep_read(rs)
+                    if entry is None:
+                        prepped.append(None)
+                        continue
+                    rt, aux, plan = entry
+                    prepped.append((rt, aux, plan, nchunk_total))
+                    nchunk_total += plan.nchunk
+                    yield chunks
+
             with self.stage("decode_fused"):
-                flat = np.concatenate(all_chunks, axis=0)
-                scores, paths, quals = self._decode_chunks_fused(
-                    flat, stay_pen, skip_pen, local_pen, use_slip,
-                    crf_emit_bias, with_qual=fused_qual)
+                scores, paths, quals = self._decode_chunks_streamed(
+                    chunk_iter(), call)
+            if scores is None:
+                return [ReadResult(rs.uuid, None, float("nan"), 0, None,
+                                   0, 0, rs.n) for rs in signals]
             results = []
             for entry, rs in zip(prepped, signals):
                 if entry is None:
@@ -799,6 +839,29 @@ class BasecallEngine:
                 results.append(ReadResult(rt.uuid, seq, score, nblock, pos,
                                           rt.start, rt.end, rt.n, qual))
             return results
+
+        # Stitch modes: prep every read up front (the stitch decode
+        # groups reads by chunk totals, so it needs the full plan set).
+        prepped = []
+        plans = []
+        all_chunks = []
+        nchunk_total = 0  # cumulative CHUNK count (reads differ in chunks)
+        for rs in signals:
+            entry, chunks = prep_read(rs)
+            if entry is None:
+                prepped.append(None)
+                continue
+            rt, aux, plan = entry
+            prepped.append((rt, aux, plan, nchunk_total))
+            nchunk_total += plan.nchunk
+            plans.append(plan)
+            all_chunks.append(chunks)
+
+        if not all_chunks:
+            return [
+                ReadResult(rs.uuid, None, float("nan"), 0, None, 0, 0, rs.n)
+                for rs in signals
+            ]
 
         # Exact stitch without the posterior ever reaching the host
         # (no whole-read-posterior consumers): the default production

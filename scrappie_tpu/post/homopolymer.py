@@ -201,19 +201,29 @@ def homopolymer_dwell_correction(event_lengths: np.ndarray, event_starts: np.nda
     nev = len(event_lengths)
     dwell = event_lengths.astype(np.float64)
 
-    tot_step_dwell = 0.0
-    nstep = 0
-    ppos, pstate, evdwell = -2, -1, 0.0
-    for ev in range(nev):
-        if pos[ev] == ppos:
-            evdwell += dwell[ev]
-            continue
-        if pos[ev] == ppos + 1 and states[ev] != pstate:
-            tot_step_dwell += evdwell
-            nstep += 1
-        evdwell = dwell[ev]
-        ppos = pos[ev]
-        pstate = states[ev]
+    # Step-dwell statistics, vectorised over runs of equal pos (the
+    # per-event Python loop was 13% of the events engine's end-to-end
+    # time, round-5 profile).  A "run" is a maximal stretch of events
+    # sharing pos; the reference credits the PREVIOUS run's total
+    # dwell as one step observation when the next run advances pos by
+    # exactly 1 with a different state (both taken at run starts).
+    pos_v = np.asarray(pos[:nev], np.int64)
+    states_v = np.asarray(states[:nev], np.int64)
+    first = np.empty(nev, bool)
+    first[0] = True
+    np.not_equal(pos_v[1:], pos_v[:-1], out=first[1:])
+    run_id = np.cumsum(first) - 1
+    run_dwell = np.bincount(run_id, weights=dwell[:nev])
+    run_pos = pos_v[first]
+    run_state = states_v[first]
+    step = (run_pos[1:] == run_pos[:-1] + 1) & \
+           (run_state[1:] != run_state[:-1])
+    tot_step_dwell = float(run_dwell[:-1][step].sum())
+    nstep = int(step.sum())
+    if run_pos[0] == -1 and run_state[0] != -1:
+        # the scalar loop's initial (ppos=-2, pstate=-1) state counts a
+        # zero-dwell step when the first event sits at pos -1
+        nstep += 1
 
     start_delta = float(event_starts[nev - 1] - event_starts[0])
     prior_scale = (float(event_lengths[nev - 1]) + start_delta) / float(basecall_len)

@@ -118,3 +118,24 @@ def test_event_detection_on_real_read(fixture_dir):
         ev["start"][1:], ev["start"][:-1] + ev["length"][:-1].astype(np.uint64)
     )
     assert int(ev["start"][-1] + ev["length"][-1]) == rt.end - rt.start
+
+
+def test_native_tstat_bit_identical():
+    """The native one-pass detection statistics must be BIT-identical
+    to the numpy port (same f64 accumulation order, same f32 cast
+    points; FMA contraction disabled in the build for exactly this)."""
+    pytest.importorskip("scrappie_tpu.native.bindings",
+                        reason="native host kernels unavailable")
+    from scrappie_tpu.native import detect_tstat
+    from scrappie_tpu.signal.events import compute_sum_sumsq, compute_tstat
+
+    rng = np.random.default_rng(11)
+    for n in (5, 37, 4096, 100_000):
+        data = (rng.normal(90.0, 15.0, n)
+                + rng.standard_normal(n)).astype(np.float32)
+        sums, sumsqs = compute_sum_sumsq(data)
+        ns, nss, nt1, nt2 = detect_tstat(data, 3, 6)
+        np.testing.assert_array_equal(sums, ns)
+        np.testing.assert_array_equal(sumsqs, nss)
+        np.testing.assert_array_equal(compute_tstat(sums, sumsqs, 3), nt1)
+        np.testing.assert_array_equal(compute_tstat(sums, sumsqs, 6), nt2)
