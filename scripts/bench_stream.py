@@ -27,20 +27,25 @@ apply_platform_override()
 
 
 def bench(pipeline: str, nchan: int, seconds: float, chunk_len: int,
-          overlap: int) -> dict:
+          overlap: int, batch: int | None = None) -> dict:
     from scrappie_tpu.train.simulate import SquiggleSimulator
 
+    # device batch: one call per nchan channels is ideal until the
+    # compiled program's HBM footprint caps it (events at chunk 10k/
+    # bucket ~2.5k OOMs a 16G chip near ~700 rows); above the cap the
+    # batcher runs multiple calls per round
+    bs = batch or min(nchan, 512)
     if pipeline == "raw":
         from scrappie_tpu.parallel.streaming import StreamingBatcher
 
         bat = StreamingBatcher("rgrgr_r94", chunk_len, overlap,
-                               batch_size=nchan)
+                               batch_size=bs)
     else:
         from scrappie_tpu.parallel.streaming_events import (
             EventsStreamingBatcher,
         )
 
-        bat = EventsStreamingBatcher(chunk_len, overlap, batch_size=nchan)
+        bat = EventsStreamingBatcher(chunk_len, overlap, batch_size=bs)
 
     sim = SquiggleSimulator(seed=1)
     # one long signal reused round-robin; per-channel offsets decorrelate
@@ -82,11 +87,14 @@ def main() -> int:
     ap.add_argument("--overlap", type=int, default=1000)
     ap.add_argument("--pipeline", choices=["raw", "events", "both"],
                     default="both")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="device batch rows (default min(channels, 512))")
     args = ap.parse_args()
     pipes = ["raw", "events"] if args.pipeline == "both" else [args.pipeline]
     for p in pipes:
         print(json.dumps(bench(p, args.channels, args.seconds,
-                               args.chunk_len, args.overlap)), flush=True)
+                               args.chunk_len, args.overlap, args.batch)),
+              flush=True)
     return 0
 
 
