@@ -260,6 +260,10 @@ def build_parser():
                     help="FASTQ qualities for every service: 'raw' "
                          "proxy or the measured 'real' Phred "
                          "recalibration (BASELINE.md)")
+    sv.add_argument("--fast", action="store_true", default=False,
+                    help="Serve the fused per-chunk fast path (incl. "
+                         "the fused multi-model ensemble) instead of "
+                         "exact stitch decode; see `raw --fast`")
 
     sub.add_parser("version", help="print version")
     sub.add_parser("licence", help="print licensing information")
@@ -646,7 +650,8 @@ def main_serve(args) -> int:
           max_batch_reads=args.max_batch_reads, max_wait_ms=args.max_wait_ms,
           batch_size=args.batch, chunk_len=args.chunk_len,
           overlap=args.overlap, ensemble=parse_members(args.ensemble),
-          qual_calibration=args.qual_calibration)
+          qual_calibration=args.qual_calibration,
+          mode="fast" if args.fast else "stitch")
     return 0
 
 

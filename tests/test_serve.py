@@ -289,3 +289,27 @@ def test_tcp_live_events_pipeline(sim_reads):
         if server._ss is not None:
             server._ss.close()
         server.server_close()
+
+
+def test_service_fast_mode_with_ensemble(sim_reads):
+    """mode='fast' serves the fused pipeline (round 5: incl. the fused
+    multi-model ensemble, CLI `serve --fast`): service results equal a
+    direct fast-mode ensemble engine call, and the mode is live (fast
+    differs from stitch at the reflected chunk tail on off-grid
+    reads)."""
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.types import RawSignal
+
+    kw = dict(chunk_len=4000, overlap=500, batch_size=4,
+              ensemble=("rgrgr_r941", "rgrgr_r10"))
+    eng = BasecallEngine("rgrgr_r94", mode="fast", **kw)
+    want = eng.basecall_signals(
+        [RawSignal(r, uuid=f"r{i}") for i, r in enumerate(sim_reads)])
+    with BasecallService("rgrgr_r94", mode="fast", max_wait_ms=300.0,
+                         **kw) as fast:
+        got = [f.result(timeout=600) for f in
+               [fast.submit(r, uuid=f"r{i}")
+                for i, r in enumerate(sim_reads)]]
+    for g, w in zip(got, want):
+        assert g.sequence == w.sequence
+        assert g.sequence
