@@ -284,3 +284,20 @@ def test_raw_watch_mode(tmp_path):
     names = [l[1:].split()[0] for l in text.splitlines() if l.startswith(">")]
     assert len(names) == 2
     assert any("r0" in n for n in names) and any("r1" in n for n in names)
+
+
+def test_raw_fast_ensemble_robust_preset(reads_dir):
+    """--ensemble composes with --fast (round 5: fused multi-model
+    VMEM combination), and --calibration real resolves to the
+    OOD-robust (stay 0.5, skip 0) when an ensemble is active —
+    identical to passing those knobs explicitly."""
+    ens = ("--ensemble", "rgrgr_r941,rgrgr_r10", "--fast")
+    cal = run_cli("raw", *ens, "--calibration", "real", SMALL_FAST5)
+    explicit = run_cli("raw", *ens, "--stay", "0.5", "--skip", "0.0",
+                       SMALL_FAST5)
+    solo_fast = run_cli("raw", "--fast", "--calibration", "real",
+                        SMALL_FAST5)
+    assert cal.returncode == explicit.returncode == 0, cal.stderr
+    assert cal.stdout.splitlines()[1:] == explicit.stdout.splitlines()[1:]
+    # the ensemble is live: the call differs from the solo fast call
+    assert cal.stdout.splitlines()[1] != solo_fast.stdout.splitlines()[1]
