@@ -144,7 +144,8 @@ def _raw_features_tm(params, sig, stride, prec_name):
 
 
 def rgrgr_basecall_fused(params, sig, **kwargs):
-    """sig [B, T, 1] -> (logscore [B], path [B, nblock+1] int32).
+    """sig [B, T, 1] -> (logscore [B], path [B, nblock+1] int16 —
+    exact, see _wire_path; upcast host-side where int32 is needed).
 
     Matches rgrgr_posterior + decode_transducer (ref calculate_post,
     src/scrappie_raw.c:265-314) with Viterbi paths identical to the
@@ -201,7 +202,7 @@ def _rgrgr_basecall_fused(params, sig, *, conv_activation: str = "elu",
 
 def raw_basecall_fused(params, sig, **kwargs):
     """raw_r94 fast path: sig [B, T, 1] -> (logscore [B], path [B,
-    nblock+1] int32).
+    nblock+1] int16 — exact, see _wire_path).
 
     Matches raw_posterior + decode_transducer (ref
     src/networks.c:196-247 + src/decode.c:123-365); biGRU layers run
@@ -250,7 +251,7 @@ def _raw_basecall_fused(params, sig, *, stride: int = 4, min_prob=1e-5,
 
 def events_basecall_fused(params, feats, **kwargs):
     """nanonet events fast path: feats [B, T, 4] -> (logscore [B],
-    path [B, T+1] int32).
+    path [B, T+1] int16 — exact, see _wire_path).
 
     Matches events_posterior + decode_transducer (ref
     src/networks.c:146-194 + src/decode.c:123-365): window(3), two
@@ -321,7 +322,7 @@ def _events_basecall_fused(params, feats, *, winlen: int = 3, min_prob=1e-5,
 
 def rnnrf_basecall_fused(params, sig, **kwargs):
     """rnnrf_r94 fast path: sig [B, T, 1] -> (logscore [B], path [B,
-    nblock+1] int32 CRF states).
+    nblock+1] int16 CRF states — exact, see _wire_path).
 
     Matches rnnrf_transitions + decode_crf (ref src/networks.c:567-615
     + src/decode.c:836-894): Pallas residual-GRU stack, globalnorm, and
@@ -365,7 +366,15 @@ def _fused_quality_stream_ens(xs, Ws, bvecs, weights, path, *,
     renormalised over the kmer states — entry-for-entry what the
     stitch-mode ensemble's transducer_qualities computes from the
     combined whole-read posterior (the global per-block normaliser
-    cancels in the kmer-lane renormalisation)."""
+    cancels in the kmer-lane renormalisation).
+
+    Memory note: like the single-model quality stream, this runs as
+    XLA ops outside the Viterbi kernel and materialises the member
+    posteriors in HBM (device-local, never transferred) — with_qual
+    deliberately trades the fused path's no-posterior-in-HBM property
+    for FASTQ output; the position-marginal sums need the full kmer
+    posterior, so fusing them into VMEM would mean a second
+    ens-kernel pass for modest traffic savings on an opt-in mode."""
     from scrappie_tpu.nn.layers import softmax_with_temperature
 
     T, B, _ = xs[0].shape
@@ -406,7 +415,8 @@ def ensemble_basecall_fused(params_list, weights, sig, **kwargs):
     device program and combine their log posteriors in VMEM before the
     fused head+Viterbi (ops/viterbi.viterbi_fused_ens_tm).
 
-    sig [B, T, 1] -> (logscore [B], path [B, nblock+1] int32[, qual]).
+    sig [B, T, 1] -> (logscore [B], path [B, nblock+1] int16[,
+    qual]; the path cast is exact, see _wire_path).
     kinds/conv_activations are per-member static tuples (primary
     first); every member must share the primary's stride and state
     space, as models/ensemble.validate_ensemble enforces.  Sequences

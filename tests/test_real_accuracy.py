@@ -75,33 +75,10 @@ def test_rnnrf_tail_generalisation_floor():
     FLOORS) protects that generalisation, not just the memorised
     whole-read score.
     """
-    import jax.numpy as jnp
+    from scrappie_tpu.train.tails import mean_tail_identity
 
-    from scrappie_tpu.decode.crf import crfpath_to_basecall, decode_crf
-    from scrappie_tpu.models import forward, registry
-    from scrappie_tpu.models.specs import RAW_MODELS
-    from scrappie_tpu.train.realdata import (RealReadSampler,
-                                             load_labelled_reads)
-
-    spec = RAW_MODELS["rnnrf_r94"]
-    params = {k: jnp.asarray(v)
-              for k, v in registry.load_params("rnnrf_r94").items()}
-    sampler = RealReadSampler(load_labelled_reads("rgrgr_r94"), seed=0)
-
-    idents = []
-    for ridx in range(len(sampler.reads)):
-        sig, truth = sampler.eval_segment(ridx)
-        if not truth:
-            continue
-        nuse = (len(sig) // spec.stride) * spec.stride
-        trans = np.asarray(forward.rnnrf_transitions(
-            params, jnp.asarray(sig[:nuse], jnp.float32)[None, :, None],
-            conv_activation=spec.conv_activation, stride=spec.stride))[0]
-        _, path = decode_crf(trans[None])
-        call = crfpath_to_basecall(np.asarray(path)[0]) or ""
-        idents.append(identity(call, truth))
-    assert idents, "no labelled tails"
-    mean_ident = float(np.mean(idents))
+    mean_ident = mean_tail_identity("rnnrf_r94")
+    assert np.isfinite(mean_ident), "no labelled tails"
     assert mean_ident >= 0.635, (
         f"rnnrf tail identity {mean_ident:.4f} below floor 0.635 — the "
         f"shipped weights' tail generalisation regressed")
@@ -163,55 +140,15 @@ TAIL_FLOORS = {"rgrgr_r94": 0.698, "rgrgr_r941": 0.664,
 
 @pytest.mark.parametrize("model", sorted(TAIL_FLOORS))
 def test_tail_identity_floor(model):
-    """A memorising training change must fail CI (VERDICT r4 #4)."""
-    import jax.numpy as jnp
+    """A memorising training change must fail CI (VERDICT r4 #4).
 
-    from scrappie_tpu.decode.transducer import decode_transducer
-    from scrappie_tpu.models import forward, registry
-    from scrappie_tpu.models.specs import NSTATE_TRANSDUCER, RAW_MODELS
-    from scrappie_tpu.post.overlapper import overlapper
-    from scrappie_tpu.train.realdata import (RealReadSampler,
-                                             load_labelled_reads)
+    The measurement is scrappie_tpu/train/tails.py — the SAME
+    implementation scripts/measure_tails.py produced the floors with,
+    so guard and measurement cannot drift apart."""
+    from scrappie_tpu.train.tails import mean_tail_identity
 
-    params = {k: jnp.asarray(v)
-              for k, v in registry.load_params(model).items()}
-    reads = load_labelled_reads("rgrgr_r94")
-    if model == "nanonet_events":
-        from scrappie_tpu.train.realdata import RealEventSampler
-
-        sampler = RealEventSampler(reads, seed=0)
-    else:
-        sampler = RealReadSampler(reads, seed=0)
-    idents = []
-    for ridx in range(len(sampler.reads)):
-        if model == "nanonet_events":
-            feats, truth = sampler.eval_events(ridx, whole=False)
-            if not truth:
-                continue
-            lp = np.asarray(forward.events_posterior(
-                params, jnp.asarray(feats)[None], return_log=True))[0]
-            _, path = decode_transducer(lp, 0.0, 0.0, 2.0)
-            call = overlapper(path[: lp.shape[0]],
-                              NSTATE_TRANSDUCER - 1) or ""
-        else:
-            spec = RAW_MODELS[model]
-            sig, truth = sampler.eval_segment(ridx)
-            if not truth:
-                continue
-            n = (len(sig) // spec.stride) * spec.stride
-            x = jnp.asarray(sig[:n], jnp.float32)[None, :, None]
-            if spec.kind == "rgrgr":
-                lp = np.asarray(forward.rgrgr_posterior(
-                    params, x, conv_activation=spec.conv_activation,
-                    stride=spec.stride, return_log=True))[0]
-            else:
-                lp = np.asarray(forward.raw_posterior(
-                    params, x, stride=spec.stride, return_log=True))[0]
-            _, path = decode_transducer(lp, 0.0, 0.0, 2.0)
-            call = overlapper(path, lp.shape[1] - 1) or ""
-        idents.append(identity(call, truth))
-    assert idents, "no labelled tails"
-    mean_ident = float(np.mean(idents))
+    mean_ident = mean_tail_identity(model)
+    assert np.isfinite(mean_ident), "no labelled tails"
     assert mean_ident >= TAIL_FLOORS[model], (
         f"{model} strict-tail identity {mean_ident:.4f} below floor "
         f"{TAIL_FLOORS[model]} — the shipped weights' generalisation "
