@@ -125,6 +125,23 @@ def _build_posterior(model: str, min_prob: float, tempW: float, tempb: float,
     return all_params, jax.jit(combined)
 
 
+def _fused_ens_config(model: str, ensemble, ensemble_weights):
+    """(weights [K] f32, kinds, conv_activations) for the fused
+    multi-model chunk pipeline (ops/pipeline.ensemble_basecall_fused),
+    or None for families it doesn't cover (rnnrf combines transition
+    energies before its own decode instead)."""
+    spec = RAW_MODELS[model]
+    if not ensemble or spec.kind not in ("rgrgr", "raw"):
+        return None
+    from scrappie_tpu.models.ensemble import validate_ensemble
+
+    w = validate_ensemble(model, tuple(ensemble),
+                          ensemble_weights).astype(np.float32)
+    specs = [spec] + [RAW_MODELS[m] for m in ensemble]
+    return (w, tuple(s.kind for s in specs),
+            tuple(getattr(s, "conv_activation", "elu") for s in specs))
+
+
 class SampleBufferMixin:
     """Shared stream-buffer machinery for the streaming basecallers
     (raw here; events in streaming_events.py).
@@ -203,6 +220,8 @@ class StreamingBasecaller(SampleBufferMixin):
             from scrappie_tpu.models.ensemble import validate_ensemble
 
             validate_ensemble(model, self._ensemble, ensemble_weights)
+        self._ens_fused = _fused_ens_config(model, self._ensemble,
+                                            ensemble_weights)
         stride = self.spec.stride
         if chunk_len % stride or overlap % stride:
             raise ValueError("chunk_len and overlap must be stride multiples")
@@ -338,6 +357,23 @@ class StreamingBasecaller(SampleBufferMixin):
                 params, jnp.asarray(x)[None, :, None],
                 conv_activation=self.spec.conv_activation,
                 stride=self.spec.stride, min_prob=mp, tempW=tw, tempb=tb,
+                stay_pen=self._decode_args[0], skip_pen=self._decode_args[1],
+                local_pen=self._decode_args[2],
+                use_slip=self._decode_args[3])
+            return np.asarray(paths)[0][1:], float(np.asarray(scores)[0])
+        if self._ens_fused is not None and ops.pallas_enabled():
+            # fused multi-model chunk pipeline (round 5): the K member
+            # stacks run in one device program, posteriors combine in
+            # VMEM before the fused head+Viterbi — one device call per
+            # chunk instead of posterior-then-decode
+            from scrappie_tpu.ops.pipeline import ensemble_basecall_fused
+
+            mp, tw, tb = self._posterior_opts
+            w, kinds, acts = self._ens_fused
+            scores, paths = ensemble_basecall_fused(
+                params, w, jnp.asarray(x)[None, :, None], kinds=kinds,
+                conv_activations=acts, stride=self.spec.stride,
+                min_prob=mp, tempW=tw, tempb=tb,
                 stay_pen=self._decode_args[0], skip_pen=self._decode_args[1],
                 local_pen=self._decode_args[2],
                 use_slip=self._decode_args[3])
@@ -515,6 +551,8 @@ class StreamingBatcher:
                              float(local_pen), bool(use_slip))
         self._min_prob, self._tempW, self._tempb = min_prob, tempW, tempb
         self._ensemble = tuple(ensemble)
+        self._ens_fused = _fused_ens_config(model, self._ensemble,
+                                            ensemble_weights)
         self._params, self._posterior = _build_posterior(
             model, min_prob, tempW, tempb, ensemble=self._ensemble,
             ensemble_weights=ensemble_weights)
@@ -576,6 +614,20 @@ class StreamingBatcher:
 
             scores, paths = rgrgr_basecall_fused(
                 self._params, x, conv_activation=self.spec.conv_activation,
+                stride=self.spec.stride, min_prob=self._min_prob,
+                tempW=self._tempW, tempb=self._tempb,
+                stay_pen=self._decode_args[0], skip_pen=self._decode_args[1],
+                local_pen=self._decode_args[2], use_slip=self._decode_args[3])
+            return paths[:n, 1:], scores[:n]
+        if self._ens_fused is not None and ops.pallas_enabled():
+            # fused multi-model chunk pipeline (round 5; same program
+            # family the engine's fast-mode ensemble uses): one device
+            # call per batch instead of posterior-then-decode
+            from scrappie_tpu.ops.pipeline import ensemble_basecall_fused
+
+            w, kinds, acts = self._ens_fused
+            scores, paths = ensemble_basecall_fused(
+                self._params, w, x, kinds=kinds, conv_activations=acts,
                 stride=self.spec.stride, min_prob=self._min_prob,
                 tempW=self._tempW, tempb=self._tempb,
                 stay_pen=self._decode_args[0], skip_pen=self._decode_args[1],
