@@ -68,3 +68,21 @@ def validate_ensemble(model: str, ensemble: tuple[str, ...],
         raise ValueError(f"ensemble weights must be positive and finite, "
                          f"got {tuple(ensemble_weights)}")
     return w / w.sum()
+
+
+def fused_config(model: str, ensemble: tuple[str, ...],
+                 ensemble_weights=None):
+    """(weights [K] f32, kinds, conv_activations) for the fused
+    multi-model chunk pipeline (ops/pipeline.ensemble_basecall_fused),
+    or None for configs it doesn't cover (no ensemble, or the rnnrf
+    family — whose members combine transition energies before their
+    own decode).  Shared by the engine's fast mode and the streaming
+    batcher so the static-argument derivation cannot drift."""
+    spec = RAW_MODELS.get(model)
+    if not ensemble or spec is None or spec.kind not in ("rgrgr", "raw"):
+        return None
+    w = validate_ensemble(model, tuple(ensemble),
+                          ensemble_weights).astype(np.float32)
+    specs = [spec] + [RAW_MODELS[m] for m in ensemble]
+    return (w, tuple(s.kind for s in specs),
+            tuple(getattr(s, "conv_activation", "elu") for s in specs))

@@ -73,14 +73,20 @@ def _fused_quality_stream(x_tm, W, bvec, path, *, min_prob=1e-5, tempW=1.0,
     """
     from scrappie_tpu.nn.layers import softmax_with_temperature
 
-    T, B, Sp = x_tm.shape
     nstate = W.shape[1]
-    nkmer = nstate - 1
-    Wp = jnp.pad(W, ((0, Sp - W.shape[0]), (0, 0)))
+    Wp = jnp.pad(W, ((0, x_tm.shape[-1] - W.shape[0]), (0, 0)))
     post = softmax_with_temperature(x_tm, Wp, bvec, tempW, tempb)
-    padj = min_prob / nstate + (1.0 - min_prob) * post[..., :nkmer]
-    msum = padj.sum(-1)  # [T, B] kmer normaliser
-    pk = padj.reshape((T, B) + (4,) * klen)
+    padj = min_prob / nstate + (1.0 - min_prob) * post[..., : nstate - 1]
+    return _qual_from_kmer_scores(padj, path, klen)
+
+
+def _qual_from_kmer_scores(pkflat, path, klen: int):
+    """Shared tail of the quality streams: unnormalised kmer scores
+    pkflat [T, B, nkmer] -> per-position base marginals, gathered along
+    the decoded path, Phred+33-encoded as uint8 [B, T+1, klen]."""
+    T, B, nkmer = pkflat.shape
+    msum = pkflat.sum(-1)  # [T, B] kmer normaliser
+    pk = pkflat.reshape((T, B) + (4,) * klen)
     # per-position base marginals [T, B, klen, 4]
     marg = jnp.stack(
         [pk.sum(axis=tuple(a for a in range(2, klen + 2) if a != j + 2))
@@ -377,7 +383,6 @@ def _fused_quality_stream_ens(xs, Ws, bvecs, weights, path, *,
     ens-kernel pass for modest traffic savings on an opt-in mode."""
     from scrappie_tpu.nn.layers import softmax_with_temperature
 
-    T, B, _ = xs[0].shape
     nstate = Ws[0].shape[1]
     nkmer = nstate - 1
     acc = None
@@ -388,23 +393,7 @@ def _fused_quality_stream_ens(xs, Ws, bvecs, weights, path, *,
             min_prob / nstate + (1.0 - min_prob) * post[..., :nkmer])
         acc = lk if acc is None else acc + lk
     mx = jnp.max(acc, axis=-1, keepdims=True)
-    pk = jnp.exp(acc - mx)
-    msum = pk.sum(-1)  # [T, B] kmer normaliser
-    pk = pk.reshape((T, B) + (4,) * klen)
-    marg = jnp.stack(
-        [pk.sum(axis=tuple(a for a in range(2, klen + 2) if a != j + 2))
-         for j in range(klen)], axis=2)
-
-    rows = jnp.clip(jnp.arange(path.shape[1]) - 1, 0, T - 1)
-    kmer = jnp.clip(path, 0, nkmer - 1).astype(jnp.int32)
-    shifts = 2 * (klen - 1 - jnp.arange(klen))
-    digits = (kmer[:, :, None] >> shifts[None, None, :]) & 3
-    marg_e = jnp.moveaxis(marg[rows], 1, 0)
-    q = jnp.take_along_axis(marg_e, digits[..., None], axis=-1)[..., 0]
-    q = q / jnp.moveaxis(msum[rows], 1, 0)[:, :, None]
-    perr = jnp.clip(1.0 - q, 1e-6, 1.0)
-    phred = jnp.clip(jnp.round(-10.0 * jnp.log10(perr)), 0, 93) + 33
-    return phred.astype(jnp.uint8)
+    return _qual_from_kmer_scores(jnp.exp(acc - mx), path, klen)
 
 
 _HEAD_KEYS = {"rgrgr": ("FF_W", "FF_b"), "raw": ("FF3_W", "FF3_b")}

@@ -340,13 +340,11 @@ class BasecallEngine:
         if self._ens_w is not None and kind in ("rgrgr", "raw", "rnnrf"):
             specs = [self.spec] + [RAW_MODELS[m] for m in self.ensemble]
             acts = tuple(getattr(s, "conv_activation", "elu") for s in specs)
-            all_params = lambda p: (p,) + self._ens_params
             if kind == "rnnrf":
                 inner = ft.partial(
                     plops.rnnrf_ensemble_basecall_fused,
                     weights=self._ens_w, conv_activations=acts,
                     stride=self.spec.stride, emit_bias=float(crf_emit_bias))
-                call = lambda p, x: inner(all_params(p), sig=x)
             else:
                 inner = ft.partial(
                     plops.ensemble_basecall_fused,
@@ -356,7 +354,7 @@ class BasecallEngine:
                     tempb=self._tempb, stay_pen=stay_pen, skip_pen=skip_pen,
                     local_pen=local_pen, use_slip=use_slip,
                     with_qual=with_qual)
-                call = lambda p, x: inner(all_params(p), sig=x)
+            call = lambda p, x: inner((p,) + self._ens_params, sig=x)
         elif kind == "rgrgr":
             call = ft.partial(
                 plops.rgrgr_basecall_fused,

@@ -125,23 +125,6 @@ def _build_posterior(model: str, min_prob: float, tempW: float, tempb: float,
     return all_params, jax.jit(combined)
 
 
-def _fused_ens_config(model: str, ensemble, ensemble_weights):
-    """(weights [K] f32, kinds, conv_activations) for the fused
-    multi-model chunk pipeline (ops/pipeline.ensemble_basecall_fused),
-    or None for families it doesn't cover (rnnrf combines transition
-    energies before its own decode instead)."""
-    spec = RAW_MODELS[model]
-    if not ensemble or spec.kind not in ("rgrgr", "raw"):
-        return None
-    from scrappie_tpu.models.ensemble import validate_ensemble
-
-    w = validate_ensemble(model, tuple(ensemble),
-                          ensemble_weights).astype(np.float32)
-    specs = [spec] + [RAW_MODELS[m] for m in ensemble]
-    return (w, tuple(s.kind for s in specs),
-            tuple(getattr(s, "conv_activation", "elu") for s in specs))
-
-
 class SampleBufferMixin:
     """Shared stream-buffer machinery for the streaming basecallers
     (raw here; events in streaming_events.py).
@@ -220,8 +203,10 @@ class StreamingBasecaller(SampleBufferMixin):
             from scrappie_tpu.models.ensemble import validate_ensemble
 
             validate_ensemble(model, self._ensemble, ensemble_weights)
-        self._ens_fused = _fused_ens_config(model, self._ensemble,
-                                            ensemble_weights)
+        from scrappie_tpu.models.ensemble import fused_config
+
+        self._ens_fused = fused_config(model, self._ensemble,
+                                       ensemble_weights)
         stride = self.spec.stride
         if chunk_len % stride or overlap % stride:
             raise ValueError("chunk_len and overlap must be stride multiples")
@@ -551,8 +536,10 @@ class StreamingBatcher:
                              float(local_pen), bool(use_slip))
         self._min_prob, self._tempW, self._tempb = min_prob, tempW, tempb
         self._ensemble = tuple(ensemble)
-        self._ens_fused = _fused_ens_config(model, self._ensemble,
-                                            ensemble_weights)
+        from scrappie_tpu.models.ensemble import fused_config
+
+        self._ens_fused = fused_config(model, self._ensemble,
+                                       ensemble_weights)
         self._params, self._posterior = _build_posterior(
             model, min_prob, tempW, tempb, ensemble=self._ensemble,
             ensemble_weights=ensemble_weights)
