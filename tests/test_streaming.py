@@ -243,6 +243,36 @@ def test_streaming_fused_path_matches_plain():
     assert np.isclose(fused.score, plain.score, rtol=1e-5)
 
 
+def test_streaming_fused_ensemble_matches_plain():
+    """With Pallas forced on, an ensemble stream takes the fused
+    multi-model chunk pipeline (round 5: ensemble_basecall_fused —
+    one device call per chunk) and must produce the same bases as the
+    plain combined-posterior + decode path; batcher == solo holds on
+    the fused route too."""
+    from scrappie_tpu import ops
+    from scrappie_tpu.parallel.streaming import StreamingBatcher
+
+    sig, _ = _sim_read(nbase=400, seed=33)
+    ens = ("rgrgr_r941", "rgrgr_r10")
+
+    def solo_stream():
+        sb = StreamingBasecaller("rgrgr_r94", CHUNK, OV, ensemble=ens,
+                                 trim_start=0)
+        sb.feed(sig)
+        sb.flush()
+        return sb.sequence
+
+    plain = solo_stream()
+    with ops.pallas(True):
+        fused = solo_stream()
+        bat = StreamingBatcher("rgrgr_r94", CHUNK, OV, batch_size=2,
+                               ensemble=ens, trim_start=0)
+        bat.add_stream("a")
+        got = bat.feed("a", sig) + bat.flush("a")
+    assert fused == plain and plain
+    assert got == plain
+
+
 def test_raw_kind_streaming():
     """raw_r94 (kind 'raw', stride 4) streams with increment invariance."""
     sig, _ = _sim_read(nbase=400, seed=31)
