@@ -417,3 +417,29 @@ def test_engine_events_qualities_and_dwell():
     # dwell on (default): sequence may differ from the uncorrected call
     r2 = eng.basecall_signals([RawSignal(sig)], trim_start=0, trim_end=0)[0]
     assert r2.sequence
+
+
+def test_fast_mode_batch_split_invariance():
+    """A read whose chunks SPLIT across device batches (round-5
+    streamed dispatch, runner._decode_chunks_streamed buffer) decodes
+    identically to the same read in one big batch — per-chunk decodes
+    are independent, so batch boundaries must be invisible."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from scrappie_tpu.parallel.runner import BasecallEngine
+    from scrappie_tpu.train.simulate import SquiggleSimulator
+    from scrappie_tpu.types import RawSignal
+
+    sim = SquiggleSimulator(seed=17)
+    sig, _, _ = sim.simulate_read(900)  # ~8k samples -> 6+ chunks at 1500/300
+    reads = [RawSignal(np.asarray(sig, np.float32), uuid="r0")]
+    kw = dict(trim_start=0, trim_end=0, varseg_thresh=0.0)
+    res = {}
+    for bs in (2, 8):
+        eng = BasecallEngine("rgrgr_r94", chunk_len=1500, overlap=300,
+                             batch_size=bs, mode="fast")
+        res[bs] = eng.basecall_signals(reads, **kw)[0]
+    assert res[2].sequence == res[8].sequence
+    assert res[2].sequence
+    assert np.isclose(res[2].score, res[8].score, rtol=1e-5)

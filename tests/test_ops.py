@@ -491,3 +491,54 @@ def test_fast_expand_close_to_exact():
         "path — the flag is not reaching the kernel"
     mism = (np.asarray(p_fast) != np.asarray(p_exact)).mean()
     assert mism < 0.05, f"fast-expand path divergence {mism:.3f}"
+
+
+def test_viterbi_fused_ens_fuzz():
+    """viterbi_fused_ens_tm == (combine member posteriors in XLA, then
+    viterbi_scores_tm) over random shapes, member counts, weights, and
+    penalty settings — including members with NARROWER hidden widths
+    (their h lanes and W rows zero-pad to the common Sp, the path the
+    production rgrgr trio never exercises)."""
+    from scrappie_tpu.ops.viterbi import viterbi_fused_ens_tm
+
+    nstate = 65  # nhist = 64, divisible by 16
+    for seed, (K, B, T, ct, widths, pens) in enumerate([
+            (2, 3, 8, 1, (128, 128), (0.0, 0.0)),
+            (3, 5, 12, 4, (128, 64, 96), (0.4, 0.6)),
+            (2, 2, 9, 3, (64, 128), (1.0, 0.0)),
+    ]):
+        rng = np.random.default_rng(100 + seed)
+        Sp = max(widths)
+        w = rng.uniform(0.5, 2.0, K)
+        w = (w / w.sum()).astype(np.float32)
+        hs, Ws, bs, lps = [], [], [], []
+        for k, wk in enumerate(widths):
+            h = np.zeros((T, B, Sp), np.float32)
+            h[:, :, :wk] = rng.standard_normal((T, B, wk)).astype(np.float32)
+            W = np.zeros((Sp, nstate), np.float32)
+            W[:wk] = (rng.standard_normal((wk, nstate)) / 4).astype(np.float32)
+            b = rng.standard_normal(nstate).astype(np.float32)
+            hs.append(h); Ws.append(W); bs.append(b)
+            y = h @ W + b
+            p = np.exp(y - y.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            lps.append(np.log(1e-5 / nstate + (1 - 1e-5) * p))
+        lp = sum(wk * l for wk, l in zip(w, lps))
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        final_ref, tb_ref = viterbi_scores_tm(
+            jnp.asarray(lp, jnp.float32), pens[0], pens[1], 2.0,
+            interpret=True)
+        want_score, want_path = viterbi_backtrace_tm(final_ref, tb_ref,
+                                                     interpret=True)
+
+        final, tb = viterbi_fused_ens_tm(
+            jnp.asarray(np.stack(hs)), jnp.asarray(np.stack(Ws)),
+            jnp.asarray(np.stack(bs)), jnp.asarray(w), min_prob=1e-5,
+            stay_pen=pens[0], skip_pen=pens[1], ct=ct, interpret=True)
+        got_score, got_path = viterbi_backtrace_tm(final, tb,
+                                                   interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_path),
+                                      np.asarray(want_path))
+        np.testing.assert_allclose(np.asarray(got_score),
+                                   np.asarray(want_score),
+                                   rtol=2e-5, atol=2e-5)
