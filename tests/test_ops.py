@@ -501,11 +501,12 @@ def test_viterbi_fused_ens_fuzz():
     production rgrgr trio never exercises)."""
     from scrappie_tpu.ops.viterbi import viterbi_fused_ens_tm
 
-    nstate = 65  # nhist = 64, divisible by 16
-    for seed, (K, B, T, ct, widths, pens) in enumerate([
-            (2, 3, 8, 1, (128, 128), (0.0, 0.0)),
-            (3, 5, 12, 4, (128, 64, 96), (0.4, 0.6)),
-            (2, 2, 9, 3, (64, 128), (1.0, 0.0)),
+    nstate = 65  # nhist = 64, divisible by 16 (and 64, for the slip case)
+    for seed, (K, B, T, ct, widths, pens, slip) in enumerate([
+            (2, 3, 8, 1, (128, 128), (0.0, 0.0), False),
+            (3, 5, 12, 4, (128, 64, 96), (0.4, 0.6), False),
+            (2, 2, 9, 3, (64, 128), (1.0, 0.0), False),
+            (2, 3, 8, 2, (128, 128), (0.2, 0.3), True),
     ]):
         rng = np.random.default_rng(100 + seed)
         Sp = max(widths)
@@ -527,14 +528,15 @@ def test_viterbi_fused_ens_fuzz():
         lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
         final_ref, tb_ref = viterbi_scores_tm(
             jnp.asarray(lp, jnp.float32), pens[0], pens[1], 2.0,
-            interpret=True)
+            use_slip=slip, interpret=True)
         want_score, want_path = viterbi_backtrace_tm(final_ref, tb_ref,
                                                      interpret=True)
 
         final, tb = viterbi_fused_ens_tm(
             jnp.asarray(np.stack(hs)), jnp.asarray(np.stack(Ws)),
             jnp.asarray(np.stack(bs)), jnp.asarray(w), min_prob=1e-5,
-            stay_pen=pens[0], skip_pen=pens[1], ct=ct, interpret=True)
+            stay_pen=pens[0], skip_pen=pens[1], use_slip=slip, ct=ct,
+            interpret=True)
         got_score, got_path = viterbi_backtrace_tm(final, tb,
                                                    interpret=True)
         np.testing.assert_array_equal(np.asarray(got_path),
