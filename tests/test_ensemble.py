@@ -287,3 +287,21 @@ def test_ensemble_qual_recal_uses_config_fit():
     eng3 = BasecallEngine("rgrgr_r94", batch_size=8,
                           qual_calibration="real")
     assert eng3._qual_recal_key == "rgrgr_r94"
+
+
+def test_fused_config_contract():
+    """models/ensemble.fused_config: the ONE derivation of the fused
+    multi-model pipeline's static arguments (engine fast mode and the
+    streaming batcher share it)."""
+    from scrappie_tpu.models.ensemble import fused_config
+
+    w, kinds, acts = fused_config("rgrgr_r94", ("rgrgr_r941", "rgrgr_r10"))
+    np.testing.assert_allclose(w, [0.6, 0.2, 0.2])
+    assert kinds == ("rgrgr", "rgrgr", "rgrgr")
+    assert len(acts) == 3
+    # no ensemble -> None; CRF family combines pre-decode -> None
+    assert fused_config("rgrgr_r94", ()) is None
+    assert fused_config("rnnrf_r94", ("rnnrf_r94",)) is None
+    # invalid configs still raise through validate_ensemble
+    with pytest.raises(ValueError, match="grids must align"):
+        fused_config("rgrgr_r94", ("raw_r94",))
