@@ -318,8 +318,11 @@ def main():
         result["precision"] = "f32 (precision flags are no-ops on the CPU backend)"
         result["note"] = ("TPU tunnel unreachable at bench time; this is the "
                           "lax.scan path on one CPU core. Device-verified TPU "
-                          "numbers: 92.2M samples/s bf16 / 67.1M exact f32 "
-                          "(BENCH_r01.json, BASELINE.md).")
+                          "numbers (2026-08-21, this round's tree): 107.1M "
+                          "samples/s bf16 / 66.8M exact f32 flagship, raw_r94 "
+                          "54.9M, rnnrf_r94 64.8M, events 16.4M ev/s, "
+                          "3-model fused ensemble 61.2M "
+                          "(BENCH_r04.json + BASELINE.md round 5).")
     print(json.dumps(result))
 
 

@@ -23,25 +23,38 @@ DOCS = ["README.md", "PARITY.md"]
 CPU_BASELINE = 65_400.0
 
 
+def _is_device_artifact(parsed: dict) -> bool:
+    """bench.py tags tunnel-outage CPU fallbacks with platform='cpu'
+    (or an 'error' on watchdog fires); those are not device
+    measurements and must not invalidate device headlines."""
+    return (parsed and "error" not in parsed
+            and parsed.get("platform") != "cpu")
+
+
 def _bench_values(n):
-    """Parsed numeric values of BENCH_r{n}.json, or None if absent."""
+    """Parsed numeric values of BENCH_r{n}.json, or None if absent or
+    not a device measurement."""
     for path in ROOT.glob("BENCH_r*.json"):
         if int(re.search(r"r(\d+)", path.name).group(1)) == n:
             parsed = json.loads(path.read_text()).get("parsed") or {}
+            if not _is_device_artifact(parsed):
+                return None
             return {k: float(v) for k, v in parsed.items()
                     if isinstance(v, (int, float))}
     return None
 
 
 def _newest_bench():
+    """(round, parsed) of the newest DEVICE artifact (CPU fallbacks
+    skipped — the axon tunnel dies for hours at a time and a
+    fallback artifact must not make device headlines 'stale')."""
     benches = sorted(ROOT.glob("BENCH_r*.json"),
                      key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
-    if not benches:
-        pytest.skip("no BENCH_r*.json artifact at repo root")
-    path = benches[-1]
-    data = json.loads(path.read_text())
-    n = int(re.search(r"r(\d+)", path.name).group(1))
-    return n, data.get("parsed") or {}
+    for path in reversed(benches):
+        parsed = json.loads(path.read_text()).get("parsed") or {}
+        if _is_device_artifact(parsed):
+            return int(re.search(r"r(\d+)", path.name).group(1)), parsed
+    pytest.skip("no device BENCH_r*.json artifact at repo root")
 
 
 def test_bench_round_tags_are_newest():
