@@ -70,26 +70,33 @@ def _watchdog(seconds: float = 900.0):
     t.start()
 
 
-def _device_alive(timeout: float = 150.0) -> bool:
+def _device_alive(timeout: float = 150.0, attempts: int = 3) -> bool:
     """Probe the default JAX backend in a killable subprocess.
 
     The tunnelled TPU's relay process can die mid-session, after which
     device calls in *this* process would hang forever instead of
     failing.  Probing in a child converts that hang into a clean,
     bounded CPU fallback (the child is killed on timeout; the parent
-    has not initialised any backend yet).
+    has not initialised any backend yet).  The probe retries: a single
+    attempt was observed to fail transiently right after a tunnel
+    restart while a retry seconds later succeeded, and a spurious CPU
+    fallback costs a whole round's device measurement.
     """
     import subprocess
 
     code = ("import jax, numpy as np;"
             "np.asarray(jax.numpy.ones((2, 2)).sum());"
             "print(jax.default_backend())")
-    try:
-        out = subprocess.run([sys.executable, "-c", code], timeout=timeout,
-                             capture_output=True, text=True)
-    except subprocess.TimeoutExpired:
-        return False
-    return out.returncode == 0 and out.stdout.strip() in ("tpu", "axon")
+    for attempt in range(attempts):
+        try:
+            out = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                                 capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            continue
+        if out.returncode == 0 and out.stdout.strip() in ("tpu", "axon"):
+            return True
+        time.sleep(min(10.0, 2.0 * (attempt + 1)))
+    return False
 
 
 def main():
